@@ -1,0 +1,170 @@
+"""Parity tests for correlation ops.
+
+The spatial correlation is checked against a literal numpy transcription of
+the reference C++ semantics (correlation.cpp:8-124) — the same role as the
+vendored extension's ``check.py``/``grad_check.py`` — and RAFT's all-pairs
+corr + lookup against a torch oracle of models/raft/corr.py:26-106.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from understanding_flow_robustness_tpu import ops
+
+RNG = np.random.RandomState(1)
+
+
+def naive_spatial_correlation(
+    f1, f2, patch_size, kernel_size=1, stride=1, padding=0,
+    dilation=1, dilation_patch=1,
+):
+    """Literal numpy port of correlation.cpp:75-124 (NHWC in/out)."""
+    B, H, W, C = f1.shape
+    rad = (patch_size - 1) // 2
+    dil_k = (kernel_size - 1) * dilation + 1
+    oH = (H + 2 * padding - dil_k) // stride + 1
+    oW = (W + 2 * padding - dil_k) // stride + 1
+    out = np.zeros((B, oH, oW, patch_size * patch_size), np.float32)
+    for b in range(B):
+        for pu in range(patch_size):
+            su = (pu - rad) * dilation_patch
+            for pv in range(patch_size):
+                sv = (pv - rad) * dilation_patch
+                p = pu * patch_size + pv
+                for h in range(oH):
+                    for w in range(oW):
+                        u = -padding + h * stride
+                        v = -padding + w * stride
+                        acc = 0.0
+                        for ki in range(kernel_size):
+                            i1 = u + ki * dilation
+                            i2 = i1 + su
+                            if not (0 <= i1 < H and 0 <= i2 < H):
+                                continue
+                            for kj in range(kernel_size):
+                                j1 = v + kj * dilation
+                                j2 = j1 + sv
+                                if not (0 <= j1 < W and 0 <= j2 < W):
+                                    continue
+                                acc += float(
+                                    np.dot(f1[b, i1, j1], f2[b, i2, j2])
+                                )
+                        out[b, h, w, p] = acc
+    return out
+
+
+@pytest.mark.parametrize("impl", ["band", "shift"])
+@pytest.mark.parametrize("patch,dil_patch", [(5, 1), (5, 2), (9, 1)])
+def test_spatial_correlation_k1(impl, patch, dil_patch):
+    f1 = RNG.randn(2, 6, 10, 4).astype(np.float32)
+    f2 = RNG.randn(2, 6, 10, 4).astype(np.float32)
+    ours = ops.spatial_correlation(
+        jnp.asarray(f1), jnp.asarray(f2),
+        patch_size=patch, dilation_patch=dil_patch, impl=impl,
+    )
+    ref = naive_spatial_correlation(f1, f2, patch, dilation_patch=dil_patch)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "kernel,stride,padding,dilation",
+    [(3, 1, 1, 1), (3, 2, 1, 1), (1, 2, 0, 1), (3, 1, 2, 2)],
+)
+def test_spatial_correlation_general(kernel, stride, padding, dilation):
+    f1 = RNG.randn(1, 8, 9, 3).astype(np.float32)
+    f2 = RNG.randn(1, 8, 9, 3).astype(np.float32)
+    ours = ops.spatial_correlation(
+        jnp.asarray(f1), jnp.asarray(f2),
+        patch_size=3, kernel_size=kernel, stride=stride,
+        padding=padding, dilation=dilation, dilation_patch=2,
+    )
+    ref = naive_spatial_correlation(
+        f1, f2, 3, kernel, stride, padding, dilation, 2
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+def test_spatial_correlation_gradcheck():
+    """Finite-difference gradient check (role of grad_check.py)."""
+    f1 = jnp.asarray(RNG.randn(1, 5, 6, 3).astype(np.float64))
+    f2 = jnp.asarray(RNG.randn(1, 5, 6, 3).astype(np.float64))
+
+    def fn(a, b):
+        return jnp.sum(
+            jnp.sin(ops.spatial_correlation(a, b, patch_size=3, dilation_patch=2))
+        )
+
+    from jax.test_util import check_grads
+
+    check_grads(fn, (f1, f2), order=1, modes=["rev"], atol=1e-3, rtol=1e-3)
+
+
+def test_all_pairs_correlation_matches_torch():
+    B, H, W, C = 2, 6, 8, 16
+    f1 = RNG.randn(B, H, W, C).astype(np.float32)
+    f2 = RNG.randn(B, H, W, C).astype(np.float32)
+    ours = ops.all_pairs_correlation(jnp.asarray(f1), jnp.asarray(f2))
+
+    t1 = torch.from_numpy(np.transpose(f1, (0, 3, 1, 2)))
+    t2 = torch.from_numpy(np.transpose(f2, (0, 3, 1, 2)))
+    a = t1.view(B, C, H * W)
+    b = t2.view(B, C, H * W)
+    ref = torch.matmul(a.transpose(1, 2), b) / np.sqrt(C)
+    ref = ref.view(B, H * W, H, W).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+def _torch_bilinear_sampler(img, coords):
+    """models/raft/utils/utils.py:64-76."""
+    H, W = img.shape[-2:]
+    xgrid, ygrid = coords.split([1, 1], dim=-1)
+    xgrid = 2 * xgrid / (W - 1) - 1
+    ygrid = 2 * ygrid / (H - 1) - 1
+    grid = torch.cat([xgrid, ygrid], dim=-1)
+    return F.grid_sample(img, grid, align_corners=True)
+
+
+def test_corr_lookup_matches_torch_corrblock():
+    """Oracle: torch re-execution of CorrBlock.__call__ (corr.py:72-96)."""
+    B, H, W, C = 1, 8, 8, 8
+    levels, r = 3, 2
+    f1 = RNG.randn(B, H, W, C).astype(np.float32)
+    f2 = RNG.randn(B, H, W, C).astype(np.float32)
+    coords = (
+        RNG.rand(B, H, W, 2) * np.array([W, H]) - 0.5
+    ).astype(np.float32)
+
+    corr0 = ops.all_pairs_correlation(jnp.asarray(f1), jnp.asarray(f2))
+    pyr = ops.corr_pyramid(corr0, num_levels=levels)
+    ours = ops.corr_lookup(pyr, jnp.asarray(coords), radius=r)
+
+    # torch oracle
+    t1 = torch.from_numpy(np.transpose(f1, (0, 3, 1, 2)))
+    t2 = torch.from_numpy(np.transpose(f2, (0, 3, 1, 2)))
+    corr = torch.matmul(
+        t1.view(B, C, H * W).transpose(1, 2), t2.view(B, C, H * W)
+    ) / float(np.sqrt(C))
+    corr = corr.view(B * H * W, 1, H, W)
+    pyramid = [corr]
+    for _ in range(levels - 1):
+        corr = F.avg_pool2d(corr, 2, stride=2)
+        pyramid.append(corr)
+
+    coords_t = torch.from_numpy(coords)
+    out_pyramid = []
+    for i in range(levels):
+        dx = torch.linspace(-r, r, 2 * r + 1)
+        dy = torch.linspace(-r, r, 2 * r + 1)
+        delta = torch.stack(torch.meshgrid(dy, dx, indexing="ij"), axis=-1)
+        centroid = coords_t.reshape(B * H * W, 1, 1, 2) / 2 ** i
+        coords_lvl = centroid + delta.view(1, 2 * r + 1, 2 * r + 1, 2)
+        sampled = _torch_bilinear_sampler(pyramid[i], coords_lvl)
+        out_pyramid.append(sampled.view(B, H, W, -1))
+    ref = torch.cat(out_pyramid, dim=-1).numpy()
+
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)

@@ -1,0 +1,43 @@
+"""Core TPU-native operators: sampling, warping, correlation, norms."""
+
+from .correlation import (
+    all_pairs_correlation,
+    channel_norm,
+    corr_lookup,
+    corr_pyramid,
+    spatial_correlation,
+)
+from .interp import (
+    apply_pad,
+    avg_pool2,
+    bilinear_sample,
+    compute_pad,
+    coords_grid,
+    grid_sample,
+    nearest_sample,
+    remove_pad,
+    resize_bilinear,
+    unnormalize_coords,
+    upsample_nearest,
+    warp_backward,
+)
+
+__all__ = [
+    "all_pairs_correlation",
+    "apply_pad",
+    "avg_pool2",
+    "bilinear_sample",
+    "channel_norm",
+    "compute_pad",
+    "coords_grid",
+    "corr_lookup",
+    "corr_pyramid",
+    "grid_sample",
+    "nearest_sample",
+    "remove_pad",
+    "resize_bilinear",
+    "spatial_correlation",
+    "unnormalize_coords",
+    "upsample_nearest",
+    "warp_backward",
+]
