@@ -1,0 +1,239 @@
+"""Gold-standard model parity: run the actual reference PyTorch models on
+CPU (CUDA ops stubbed) with random weights, convert the state dict with our
+converter, and compare full forward passes against the flax models.
+
+BASELINE target is EPE within 1%; these tests demand much tighter agreement
+(per-pixel atol) since both sides run f32 on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from understanding_flow_robustness_tpu.models import convert as cv
+from understanding_flow_robustness_tpu.models import (
+    FlowNet2,
+    FlowNetC,
+    FlowNetCFlex,
+    FlowNetS2,
+    PWCNet,
+    RAFT,
+    SpyNet,
+)
+
+import reference_oracle as oracle
+
+RNG = np.random.RandomState(7)
+
+
+def _imgs(h, w, b=1):
+    a = RNG.rand(b, h, w, 3).astype(np.float32)
+    b_ = RNG.rand(b, h, w, 3).astype(np.float32)
+    return a, b_
+
+
+def _run_ref(model, x1, x2, **kw):
+    model.eval()
+    with torch.no_grad():
+        out = model(oracle.nchw(x1), oracle.nchw(x2), **kw)
+    return out
+
+
+def _max_err(a, b):
+    return float(np.max(np.abs(np.asarray(a) - b)))
+
+
+def test_flownet_s_parity():
+    ref_mod = oracle.ref_module("FlowNet2S")
+    ref = ref_mod.FlowNet2S(batchNorm=False)
+    sd = oracle.state_dict_numpy(ref)
+
+    ours = FlowNetS2()
+    variables = cv.convert_flownet_s(sd)
+
+    x1, x2 = _imgs(64, 128)
+    ref_out = oracle.nhwc(_run_ref(ref, x1, x2))
+    out = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2))
+    assert ref_out.shape == out.shape
+    assert _max_err(out, ref_out) < 1e-3
+
+
+def test_flownet_c_parity():
+    ref_mod = oracle.ref_module("FlowNetC")
+    ref = ref_mod.FlowNetC(batchNorm=False)
+    sd = oracle.state_dict_numpy(ref)
+
+    ours = FlowNetC()
+    variables = cv.convert_flownet_c(sd)
+
+    x1, x2 = _imgs(64, 128)
+    ref_out = oracle.nhwc(_run_ref(ref, x1, x2))
+    out = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2))
+    assert _max_err(out, ref_out) < 1e-3
+
+
+@pytest.mark.parametrize("k,reps", [(3, 1), (5, 0)])
+def test_flownet_c_flex_parity(k, reps):
+    ref_mod = oracle.ref_module("FlowNetC_flexible_larger_field")
+    ref = ref_mod.FlowNetC_flexible_larger_field(
+        kernel_size=k, number_of_reps=reps, dilation=1
+    )
+    sd = oracle.state_dict_numpy(ref)
+
+    ours = FlowNetCFlex(kernel_size=k, number_of_reps=reps)
+    variables = cv.convert_flownet_c_flex(sd)
+
+    x1, x2 = _imgs(64, 128)
+    ref_out = oracle.nhwc(_run_ref(ref, x1, x2))
+    out = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2))
+    assert _max_err(out, ref_out) < 1e-3
+
+
+def test_flownet_c_predict_bias_parity():
+    """k5_reps0 checkpoints load into FlowNetC_predict_bias (flat names,
+    models/utils_model.py:81-89); ours uses flat_entry_names."""
+    ref_mod = oracle.ref_module("FlowNetC_predict_bias")
+    ref = ref_mod.FlowNetC_predict_bias()
+    sd = oracle.state_dict_numpy(ref)
+
+    ours = FlowNetCFlex(kernel_size=5, number_of_reps=0, flat_entry_names=True)
+    variables = cv.convert_flownet_c_flex(sd)
+
+    x1, x2 = _imgs(64, 128)
+    ref_out = oracle.nhwc(_run_ref(ref, x1, x2))
+    out = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2))
+    assert _max_err(out, ref_out) < 1e-3
+
+
+def test_pwcnet_parity():
+    ref_mod = oracle.ref_module("PWCNet")
+    ref = ref_mod.PWCDCNet(md=4)
+    sd = oracle.state_dict_numpy(ref)
+
+    ours = PWCNet()
+    variables = cv.convert_pwcnet(sd)
+
+    x1, x2 = _imgs(64, 128)
+    ref_out = oracle.nhwc(_run_ref(ref, x1, x2))
+    out = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2))
+    assert _max_err(out, ref_out) < 1e-3
+
+
+def test_spynet_parity(tmp_path, monkeypatch):
+    # synthesize the per-level weight files the reference loads at
+    # construction (models/spynet.py:81-127)
+    wdir = tmp_path / "pretrained_models" / "spynet_models"
+    wdir.mkdir(parents=True)
+    gen = torch.Generator().manual_seed(0)
+    chans = [(8, 32), (32, 64), (64, 32), (32, 16), (16, 2)]
+    for lvl in range(1, 7):
+        for k, (ci, co) in enumerate(chans):
+            torch.save(torch.randn(co, ci, 7, 7, generator=gen) * 0.05,
+                       wdir / f"modelL{lvl}_F-{k + 1}-weight.pth.tar")
+            torch.save(torch.randn(co, generator=gen) * 0.05,
+                       wdir / f"modelL{lvl}_F-{k + 1}-bias.pth.tar")
+    monkeypatch.chdir(tmp_path)
+
+    ref_mod = oracle.ref_module("spynet")
+    ref = ref_mod.Network(nlevels=6, strmodel="F", pretrained=True)
+
+    ours = SpyNet(nlevels=6)
+    variables = cv.convert_spynet_dir(str(wdir))
+
+    x1, x2 = _imgs(64, 128)
+    # f32 accumulation differences (torch conv vs XLA conv) amplify ~10x per
+    # pyramid level through the 7x7 conv stacks; the coarse levels agree to
+    # 1e-6, proving semantic parity, while the finest level sees ~5e-4.
+    ref.train()
+    with torch.no_grad():
+        ref_flows = ref(oracle.nchw(x1), oracle.nchw(x2))
+    our_flows = ours.apply(
+        variables, jnp.asarray(x1), jnp.asarray(x2), train=True
+    )
+    for r, o in zip(ref_flows[3:], our_flows[3:]):
+        assert _max_err(o, oracle.nhwc(r)) < 1e-5
+    assert _max_err(our_flows[0], oracle.nhwc(ref_flows[0])) < 2e-3
+
+    ref_out = oracle.nhwc(_run_ref(ref, x1, x2))
+    out = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2))
+    assert _max_err(out, ref_out) < 2e-3
+
+
+def test_raft_parity():
+    from argparse import Namespace
+
+    args = Namespace(
+        small=False, mixed_precision=False, alternate_corr=False,
+        fnorm="instance", cnorm="batch", no_separate_context=False,
+        corr_levels=4, iters=4, flowNetCEnc=False, dropout=0,
+        compute_spatial=False, corr_radius=4,
+        update_no_motion_downsampling=False,
+    )
+    raft_mod = oracle.ref_module("raft.raft")
+    ref = raft_mod.RAFT(args)
+    sd = oracle.state_dict_numpy(ref)
+
+    ours = RAFT(iters=4, mixed_precision=False)
+    variables = cv.convert_raft(sd)
+
+    # H/8 must be >= 16: the reference's 4-level corr pyramid divides by
+    # (size-1) per level and NaNs out on degenerate 1-pixel levels.
+    x1, x2 = _imgs(128, 128)
+    x1_255, x2_255 = x1 * 255.0, x2 * 255.0
+    ref.eval()
+    with torch.no_grad():
+        flow_low_ref, flow_up_ref = ref(
+            oracle.nchw(x1_255), oracle.nchw(x2_255), test_mode=True
+        )
+    flow_low, flow_up = ours.apply(
+        variables, jnp.asarray(x1_255), jnp.asarray(x2_255), test_mode=True
+    )
+    assert _max_err(flow_up, oracle.nhwc(flow_up_ref)) < 1e-3
+    assert _max_err(flow_low, oracle.nhwc(flow_low_ref)) < 1e-3
+
+
+def test_raft_flownetc_encoder_wo_context_parity():
+    from argparse import Namespace
+
+    args = Namespace(
+        small=False, mixed_precision=False, alternate_corr=False,
+        fnorm="instance", cnorm="batch", no_separate_context=True,
+        corr_levels=4, iters=2, flowNetCEnc=True, dropout=0,
+        compute_spatial=False, corr_radius=4,
+        update_no_motion_downsampling=False,
+    )
+    raft_mod = oracle.ref_module("raft.raft")
+    ref = raft_mod.RAFT(args)
+    sd = oracle.state_dict_numpy(ref)
+
+    ours = RAFT(iters=2, mixed_precision=False, flownetc_encoder=True,
+                no_separate_context=True)
+    variables = cv.convert_raft(sd)
+
+    x1, x2 = _imgs(128, 128)
+    ref.eval()
+    with torch.no_grad():
+        _, flow_up_ref = ref(
+            oracle.nchw(x1 * 255), oracle.nchw(x2 * 255), test_mode=True
+        )
+    _, flow_up = ours.apply(
+        variables, jnp.asarray(x1 * 255), jnp.asarray(x2 * 255), test_mode=True
+    )
+    assert _max_err(flow_up, oracle.nhwc(flow_up_ref)) < 1e-3
+
+
+def test_flownet2_parity():
+    ref_mod = oracle.ref_module("flownet2_models")
+    ref = ref_mod.FlowNet2(batchNorm=False)
+    sd = oracle.state_dict_numpy(ref)
+
+    ours = FlowNet2()
+    variables = cv.convert_flownet2(sd)
+
+    x1, x2 = _imgs(64, 64)
+    ref_out = oracle.nhwc(_run_ref(ref, x1, x2))
+    out = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2))
+    assert _max_err(out, ref_out) < 1e-3

@@ -1,0 +1,255 @@
+"""torch-parity neural-net primitives on flax.linen (NHWC).
+
+The reference models were trained in PyTorch; to load their checkpoints and
+match outputs within EPE tolerance, the layer semantics here reproduce
+``nn.Conv2d`` / ``nn.ConvTranspose2d`` / norm layers exactly:
+
+* ``TorchConv``          — Conv2d with symmetric (k-1)//2-style padding.
+* ``TorchConvTranspose`` — ConvTranspose2d(k, s, p) via an input-dilated
+  conv with a spatially flipped kernel; kernel stored as (kh, kw, I, O)
+  (= torch's (I, O, kh, kw) transposed), so converted checkpoints load
+  without re-flipping.
+* ``InstanceNorm2d``     — affine-free, eps 1e-5 (torch default).
+* ``TorchGroupNorm`` / ``TorchBatchNorm`` — affine, eps 1e-5.
+
+Compute dtype is configurable (bf16 on TPU for speed); parameters stay f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+Array = jax.Array
+Dtype = Any
+
+
+def leaky_relu(x: Array, negative_slope: float = 0.1) -> Array:
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+class TorchConv(nn.Module):
+    """nn.Conv2d parity: explicit symmetric padding, HWIO kernel."""
+
+    features: int
+    kernel_size: int | tuple[int, int]
+    stride: int | tuple[int, int] = 1
+    padding: Optional[int | tuple[int, int]] = None  # default (k-1)//2 * dil
+    dilation: int | tuple[int, int] = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
+        dh, dw = _pair(self.dilation)
+        if self.padding is None:
+            ph, pw = ((kh - 1) // 2) * dh, ((kw - 1) // 2) * dw
+        else:
+            ph, pw = _pair(self.padding)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.kaiming_normal(),
+            (kh, kw, in_ch, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        y = lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(sh, sw),
+            padding=((ph, ph), (pw, pw)),
+            rhs_dilation=(dh, dw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(dtype)
+        return y
+
+
+class TorchConvTranspose(nn.Module):
+    """nn.ConvTranspose2d parity (output_padding=0).
+
+    Output size = (in - 1) * stride - 2 * padding + kernel.  Implemented as
+    lhs-dilated convolution with padding (k - 1 - p) and the kernel flipped
+    spatially, which is exactly torch's gradient-of-conv definition.
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        # stored as (kh, kw, I, O): torch (I, O, kh, kw).transpose(2, 3, 0, 1)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.kaiming_normal(),
+            (k, k, in_ch, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        y = lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel[::-1, ::-1].astype(dtype),
+            window_strides=(1, 1),
+            padding=((k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(dtype)
+        return y
+
+
+class InstanceNorm2d(nn.Module):
+    """torch nn.InstanceNorm2d defaults: affine=False, eps=1e-5, per-sample
+    per-channel normalization over (H, W)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        return ((x32 - mean) * lax.rsqrt(var + self.eps)).astype(x.dtype)
+
+
+class TorchGroupNorm(nn.Module):
+    """torch nn.GroupNorm parity (affine, eps=1e-5)."""
+
+    num_groups: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        B, H, W, C = x.shape
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        x32 = x.astype(jnp.float32).reshape(B, H, W, g, C // g)
+        mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2, 4), keepdims=True)
+        y = (x32 - mean) * lax.rsqrt(var + self.eps)
+        y = y.reshape(B, H, W, C) * scale + bias
+        return y.astype(x.dtype)
+
+
+class TorchBatchNorm(nn.Module):
+    """torch nn.BatchNorm2d parity (eps=1e-5, momentum=0.1).
+
+    ``use_running_average=True`` (inference) uses the converted running
+    stats; training mode computes batch stats and updates the ``batch_stats``
+    collection like flax's BatchNorm.
+    """
+
+    use_running_average: bool = True
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        x32 = x.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            var = jnp.var(x32, axis=(0, 1, 2))
+            if not self.is_initializing():
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        y = (x32 - mean) * lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(x.dtype)
+
+
+class ConvBlock(nn.Module):
+    """The reference's ``conv()`` helper (models/submodules.py:18-43):
+    Conv2d (+ optional BatchNorm) + LeakyReLU(0.1).  With batch_norm the
+    conv drops its bias, as in the reference."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    batch_norm: bool = False
+    act: Optional[Callable[[Array], Array]] = leaky_relu
+    dtype: Optional[Dtype] = None
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = TorchConv(
+            self.features,
+            self.kernel_size,
+            self.stride,
+            dilation=self.dilation,
+            use_bias=not self.batch_norm,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.batch_norm:
+            y = TorchBatchNorm(use_running_average=not self.train, name="bn")(y)
+        if self.act is not None:
+            y = self.act(y)
+        return y
+
+
+class DeconvBlock(nn.Module):
+    """The reference's ``deconv()``: ConvTranspose2d(4, 2, 1) + LeakyReLU(0.1).
+    FlowNetS uses bias=False (models/FlowNetS.py:43-49), FlowNetC bias=True
+    (models/submodules.py:76-82)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = TorchConvTranspose(
+            self.features, 4, 2, 1, use_bias=self.use_bias,
+            dtype=self.dtype, name="deconv",
+        )(x)
+        return leaky_relu(y)
+
+
+def _pair(v) -> tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return tuple(v)  # type: ignore[return-value]
+    return (v, v)
+
+
+def crop_like(x: Array, target: Array) -> Array:
+    """models/FlowNetS.py:52-57 — crop trailing spatial rows/cols."""
+    if x.shape[1:3] == target.shape[1:3]:
+        return x
+    return x[:, : target.shape[1], : target.shape[2], :]

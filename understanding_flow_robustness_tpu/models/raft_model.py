@@ -1,0 +1,528 @@
+"""RAFT and variants in flax (TPU-first).
+
+Reference: models/raft/raft.py (233), extractor.py (391), update.py (162),
+corr.py (137).  Key TPU redesigns vs. the reference:
+
+* the 12-iteration ConvGRU refinement runs as a ``lax.scan`` over the GRU
+  state (one trace, one compile) instead of a Python loop
+  (models/raft/raft.py:187-220);
+* the all-pairs correlation volume is one big MXU matmul
+  (models/raft/corr.py:98-106) and the radius-4 pyramid lookup is a batched
+  gather (ops.corr_lookup);
+* mixed precision (torch autocast, raft.py:10-22) becomes an explicit
+  bf16 compute dtype on the conv stacks with f32 correlation/flow math.
+
+Supported variants (models/utils_model.py:49-73): standard RAFT
+(fnorm=instance, cnorm=batch), RAFT_FlowNetCEncoder_WoContext (3-conv
+FlowNetC encoder, conv_redir context), small RAFT, spatial-corr mode
+(CorrBlock(compute_spatial=True), corr.py:33-54).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from ..ops import (
+    all_pairs_correlation,
+    avg_pool2,
+    coords_grid,
+    corr_lookup,
+    corr_pyramid,
+    resize_bilinear,
+    spatial_correlation,
+)
+from .layers import InstanceNorm2d, TorchBatchNorm, TorchConv, TorchGroupNorm, leaky_relu
+
+Array = jax.Array
+
+
+def _norm(norm_fn: str, num_channels: int, train: bool, name: str):
+    if norm_fn == "group":
+        return TorchGroupNorm(num_groups=num_channels // 8, name=name)
+    if norm_fn == "batch":
+        return TorchBatchNorm(use_running_average=not train, name=name)
+    if norm_fn == "instance":
+        return InstanceNorm2d(name=name)
+    if norm_fn == "none":
+        return lambda x: x
+    raise ValueError(norm_fn)
+
+
+class ResidualBlock(nn.Module):
+    """models/raft/extractor.py:5-78."""
+
+    features: int
+    norm_fn: str = "group"
+    stride: int = 1
+    dtype: Optional[Any] = None
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        relu = jax.nn.relu
+        y = TorchConv(self.features, 3, self.stride, dtype=self.dtype,
+                      name="conv1")(x)
+        y = relu(_norm(self.norm_fn, self.features, self.train, "norm1")(y))
+        y = TorchConv(self.features, 3, 1, dtype=self.dtype, name="conv2")(y)
+        y = relu(_norm(self.norm_fn, self.features, self.train, "norm2")(y))
+        if self.stride != 1:
+            x = TorchConv(self.features, 1, self.stride, dtype=self.dtype,
+                          name="downsample")(x)
+            x = _norm(self.norm_fn, self.features, self.train, "norm3")(x)
+        return relu(x + y)
+
+
+class BottleneckBlock(nn.Module):
+    """models/raft/extractor.py:81-140 (small encoder)."""
+
+    features: int
+    norm_fn: str = "group"
+    stride: int = 1
+    dtype: Optional[Any] = None
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        relu = jax.nn.relu
+        q = self.features // 4
+        y = TorchConv(q, 1, 1, dtype=self.dtype, name="conv1")(x)
+        y = relu(_norm(self.norm_fn, q, self.train, "norm1")(y))
+        y = TorchConv(q, 3, self.stride, dtype=self.dtype, name="conv2")(y)
+        y = relu(_norm(self.norm_fn, q, self.train, "norm2")(y))
+        y = TorchConv(self.features, 1, 1, dtype=self.dtype, name="conv3")(y)
+        y = relu(_norm(self.norm_fn, self.features, self.train, "norm3")(y))
+        if self.stride != 1:
+            x = TorchConv(self.features, 1, self.stride, dtype=self.dtype,
+                          name="downsample")(x)
+            x = _norm(self.norm_fn, self.features, self.train, "norm4")(x)
+        return relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """models/raft/extractor.py:142-215: conv7x7/2 + 3 residual stages
+    (64, 96/2, 128/2) + 1x1 out conv.  Output stride 8."""
+
+    output_dim: int = 256
+    norm_fn: str = "instance"
+    dtype: Optional[Any] = None
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = TorchConv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
+        x = _norm(self.norm_fn, 64, self.train, "norm1")(x)
+        x = jax.nn.relu(x)
+        for i, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
+            x = ResidualBlock(dim, self.norm_fn, stride, self.dtype,
+                              self.train, name=f"layer{i + 1}_0")(x)
+            x = ResidualBlock(dim, self.norm_fn, 1, self.dtype,
+                              self.train, name=f"layer{i + 1}_1")(x)
+        return TorchConv(self.output_dim, 1, 1, dtype=self.dtype, name="conv2")(x)
+
+
+class SmallEncoder(nn.Module):
+    """models/raft/extractor.py:218-289."""
+
+    output_dim: int = 128
+    norm_fn: str = "instance"
+    dtype: Optional[Any] = None
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = TorchConv(32, 7, 2, dtype=self.dtype, name="conv1")(x)
+        x = _norm(self.norm_fn, 32, self.train, "norm1")(x)
+        x = jax.nn.relu(x)
+        for i, (dim, stride) in enumerate([(32, 1), (64, 2), (96, 2)]):
+            x = BottleneckBlock(dim, self.norm_fn, stride, self.dtype,
+                                self.train, name=f"layer{i + 1}_0")(x)
+            x = BottleneckBlock(dim, self.norm_fn, 1, self.dtype,
+                                self.train, name=f"layer{i + 1}_1")(x)
+        return TorchConv(self.output_dim, 1, 1, dtype=self.dtype, name="conv2")(x)
+
+
+class FlowNetCEncoder(nn.Module):
+    """models/raft/extractor.py:292-391: conv7/2-conv5/2-conv5/2 with
+    LeakyReLU(0.1) (norm_fn='none' in all factory uses)."""
+
+    output_dim: int = 256
+    norm_fn: str = "none"
+    dtype: Optional[Any] = None
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for i, (feat, k) in enumerate(
+            [(64, 7), (128, 5), (self.output_dim, 5)]
+        ):
+            x = TorchConv(feat, k, 2, use_bias=self.norm_fn == "none",
+                          dtype=self.dtype, name=f"conv{i + 1}")(x)
+            if self.norm_fn != "none":
+                x = _norm(self.norm_fn, feat, self.train, f"norm{i + 1}")(x)
+            x = leaky_relu(x)
+        return x
+
+
+class FlowHead(nn.Module):
+    """models/raft/update.py:6-14."""
+
+    hidden_dim: int = 256
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = jax.nn.relu(
+            TorchConv(self.hidden_dim, 3, 1, dtype=self.dtype, name="conv1")(x)
+        )
+        return TorchConv(2, 3, 1, dtype=self.dtype, name="conv2")(y)
+
+
+class ConvGRU(nn.Module):
+    """models/raft/update.py:17-32 (small update block)."""
+
+    hidden_dim: int = 96
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array) -> Array:
+        hd = self.hidden_dim
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(TorchConv(hd, 3, 1, dtype=self.dtype, name="convz")(hx))
+        r = jax.nn.sigmoid(TorchConv(hd, 3, 1, dtype=self.dtype, name="convr")(hx))
+        q = jnp.tanh(
+            TorchConv(hd, 3, 1, dtype=self.dtype, name="convq")(
+                jnp.concatenate([r * h, x], axis=-1)
+            )
+        )
+        return (1 - z) * h + z * q
+
+
+class SepConvGRU(nn.Module):
+    """models/raft/update.py:35-73: 1x5 then 5x1 GRU passes."""
+
+    hidden_dim: int = 128
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array) -> Array:
+        hd = self.hidden_dim
+
+        def gru(h, x, ks, suffix):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = jax.nn.sigmoid(
+                TorchConv(hd, ks, 1, dtype=self.dtype, name=f"convz{suffix}")(hx)
+            )
+            r = jax.nn.sigmoid(
+                TorchConv(hd, ks, 1, dtype=self.dtype, name=f"convr{suffix}")(hx)
+            )
+            q = jnp.tanh(
+                TorchConv(hd, ks, 1, dtype=self.dtype, name=f"convq{suffix}")(
+                    jnp.concatenate([r * h, x], axis=-1)
+                )
+            )
+            return (1 - z) * h + z * q
+
+        h = gru(h, x, (1, 5), "1")
+        h = gru(h, x, (5, 1), "2")
+        return h
+
+
+class BasicMotionEncoder(nn.Module):
+    """models/raft/update.py:96-121."""
+
+    cor_planes: int
+    no_motion_downsampling: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, flow: Array, corr: Array):
+        relu = jax.nn.relu
+        cor = relu(TorchConv(256, 1, 1, dtype=self.dtype, name="convc1")(corr))
+        cor1 = cor
+        if not self.no_motion_downsampling:
+            cor = relu(TorchConv(192, 3, 1, dtype=self.dtype, name="convc2")(cor))
+        flo = relu(TorchConv(128, 7, 1, dtype=self.dtype, name="convf1")(flow))
+        flo = relu(TorchConv(64, 3, 1, dtype=self.dtype, name="convf2")(flo))
+        cor_flo = jnp.concatenate([cor, flo], axis=-1)
+        out = relu(TorchConv(126, 3, 1, dtype=self.dtype, name="conv")(cor_flo))
+        return jnp.concatenate([out, flow], axis=-1), cor1, cor, cor_flo
+
+
+class SmallMotionEncoder(nn.Module):
+    """models/raft/update.py:76-93."""
+
+    cor_planes: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, flow: Array, corr: Array):
+        relu = jax.nn.relu
+        cor = relu(TorchConv(96, 1, 1, dtype=self.dtype, name="convc1")(corr))
+        flo = relu(TorchConv(64, 7, 1, dtype=self.dtype, name="convf1")(flow))
+        flo = relu(TorchConv(32, 3, 1, dtype=self.dtype, name="convf2")(flo))
+        cor_flo = jnp.concatenate([cor, flo], axis=-1)
+        out = relu(TorchConv(80, 3, 1, dtype=self.dtype, name="conv")(cor_flo))
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class BasicUpdateBlock(nn.Module):
+    """models/raft/update.py:139-162: motion encoder + SepConvGRU +
+    FlowHead + 64*9 convex-upsample mask head (x0.25)."""
+
+    cor_planes: int
+    hidden_dim: int = 128
+    no_motion_downsampling: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, net: Array, inp: Array, corr: Array, flow: Array):
+        motion_features, cor1, cor, cor_flo = BasicMotionEncoder(
+            self.cor_planes, self.no_motion_downsampling, self.dtype,
+            name="encoder",
+        )(flow, corr)
+        x = jnp.concatenate([inp, motion_features], axis=-1)
+        net = SepConvGRU(self.hidden_dim, self.dtype, name="gru")(net, x)
+        delta_flow = FlowHead(256, self.dtype, name="flow_head")(net)
+        m = jax.nn.relu(TorchConv(256, 3, 1, dtype=self.dtype, name="mask_0")(net))
+        mask = 0.25 * TorchConv(64 * 9, 1, 1, dtype=self.dtype, name="mask_2")(m)
+        return net, mask, delta_flow, (motion_features, cor1, cor, cor_flo)
+
+
+class SmallUpdateBlock(nn.Module):
+    """models/raft/update.py:124-136."""
+
+    cor_planes: int
+    hidden_dim: int = 96
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, net: Array, inp: Array, corr: Array, flow: Array):
+        motion_features = SmallMotionEncoder(
+            self.cor_planes, self.dtype, name="encoder"
+        )(flow, corr)
+        x = jnp.concatenate([inp, motion_features], axis=-1)
+        net = ConvGRU(self.hidden_dim, self.dtype, name="gru")(net, x)
+        delta_flow = FlowHead(128, self.dtype, name="flow_head")(net)
+        return net, None, delta_flow, (motion_features,) * 4
+
+
+def upsample_flow_convex(flow: Array, mask: Array) -> Array:
+    """Convex-combination 8x upsampling (models/raft/raft.py:111-122).
+
+    flow: (B, H, W, 2); mask: (B, H, W, 64*9).  torch uses
+    F.unfold(8*flow, [3,3], padding=1) then a softmax-weighted sum over the
+    9 taps per 8x8 output sub-block; here the unfold is 9 static shifts.
+    """
+    B, H, W, _ = flow.shape
+    mask = mask.reshape(B, H, W, 9, 8, 8)
+    mask = jax.nn.softmax(mask, axis=3)
+
+    f = 8.0 * flow
+    fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # unfold(k=3) tap order: (dy, dx) row-major, matching torch.
+    taps = jnp.stack(
+        [fp[:, dy : dy + H, dx : dx + W, :] for dy in range(3) for dx in range(3)],
+        axis=3,
+    )  # (B, H, W, 9, 2)
+    up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", mask, taps)
+    # (B, H, W, 8, 8, 2) -> (B, 8H, 8W, 2)
+    up = up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * H, 8 * W, 2)
+    return up
+
+
+def upflow8(flow: Array) -> Array:
+    """models/raft/utils/utils.py:85-87: 8 * bilinear(align_corners=True)."""
+    B, H, W, _ = flow.shape
+    return 8.0 * resize_bilinear(flow, 8 * H, 8 * W, align_corners=True)
+
+
+class RAFT(nn.Module):
+    """models/raft/raft.py:25-233.
+
+    Call with images in [0, 255] (B, H, W, 3), H and W multiples of 8.
+    test_mode (eval): returns (flow_lowres, flow_up).  train: returns the
+    per-iteration list of upsampled flows.
+    """
+
+    small: bool = False
+    iters: int = 12
+    corr_levels: int = 4
+    corr_radius: int = 4
+    fnorm: str = "instance"
+    cnorm: str = "batch"
+    no_separate_context: bool = False
+    flownetc_encoder: bool = False
+    compute_spatial: bool = False
+    mixed_precision: bool = False
+    return_features: bool = False
+    dtype: Optional[Any] = None
+
+    @property
+    def hidden_dim(self):
+        return 96 if self.small else 128
+
+    @property
+    def context_dim(self):
+        return 64 if self.small else 128
+
+    @property
+    def radius(self):
+        return 3 if self.small else self.corr_radius
+
+    @nn.compact
+    def __call__(
+        self,
+        image1: Array,
+        image2: Array,
+        flow_init: Optional[Array] = None,
+        train: bool = False,
+        test_mode: bool = True,
+    ):
+        hdim, cdim = self.hidden_dim, self.context_dim
+        compute_dtype = (
+            self.dtype if self.dtype is not None
+            else (jnp.bfloat16 if self.mixed_precision else None)
+        )
+
+        x1 = 2.0 * (image1 / 255.0) - 1.0
+        x2 = 2.0 * (image2 / 255.0) - 1.0
+
+        # feature network (batched siamese, raft.py:141)
+        if self.flownetc_encoder:
+            fnet = FlowNetCEncoder(256, "none", compute_dtype, train, name="fnet")
+        elif self.small:
+            fnet = SmallEncoder(128, "instance", compute_dtype, train, name="fnet")
+        else:
+            fnet = BasicEncoder(256, self.fnorm, compute_dtype, train, name="fnet")
+        fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        fmap1 = fmap1.astype(jnp.float32)
+        fmap2 = fmap2.astype(jnp.float32)
+
+        feats = {"fmap1": fmap1, "fmap2": fmap2}
+
+        # correlation volume + pyramid
+        if self.compute_spatial:
+            # CorrBlock(compute_spatial=True) (corr.py:33-54): 21x21/dil-2
+            # spatial corr, channels become the batch of pyramid "images".
+            sc = spatial_correlation(
+                fmap1, fmap2, patch_size=21, dilation_patch=2
+            ) / fmap1.shape[-1]
+            B, h, w, P = sc.shape
+            corr0 = sc.transpose(0, 3, 1, 2)  # (B, 441, h, w)
+            pyramid = corr_pyramid(corr0, self.corr_levels)
+            feats["spatial_corr"] = sc
+        else:
+            corr0 = all_pairs_correlation(fmap1, fmap2)
+            pyramid = corr_pyramid(corr0, self.corr_levels)
+        for i, lvl in enumerate(pyramid):
+            feats[f"corr_pyramid_{i}"] = lvl
+
+        # context network (raft.py:167-175)
+        if self.no_separate_context:
+            cnet = TorchConv(hdim + cdim, 1, 1, dtype=compute_dtype,
+                             name="conv_redir")(fmap1)
+        elif self.flownetc_encoder:
+            cnet = FlowNetCEncoder(hdim + cdim, "none", compute_dtype, train,
+                                   name="cnet")(x1)
+        elif self.small:
+            cnet = SmallEncoder(hdim + cdim, "none", compute_dtype, train,
+                                name="cnet")(x1)
+        else:
+            cnet = BasicEncoder(hdim + cdim, self.cnorm, compute_dtype, train,
+                                name="cnet")(x1)
+        net, inp = jnp.split(cnet.astype(jnp.float32), [hdim], axis=-1)
+        net = jnp.tanh(net)
+        inp = jax.nn.relu(inp)
+        feats["net"] = net
+        feats["inp"] = inp
+
+        B, H8, W8, _ = fmap1.shape
+        coords0 = jnp.broadcast_to(
+            coords_grid(H8, W8)[None], (B, H8, W8, 2)
+        )
+        coords1 = coords0
+        if flow_init is not None:
+            coords1 = coords1 + flow_init
+
+        if self.compute_spatial:
+            lookup = _spatial_corr_lookup
+        else:
+            lookup = lambda pyr, c: corr_lookup(pyr, c, self.radius)
+
+        cor_planes = (
+            self.corr_levels * (21 ** 2) if self.compute_spatial
+            else self.corr_levels * (2 * self.radius + 1) ** 2
+        )
+        if self.small:
+            update_block = SmallUpdateBlock(
+                cor_planes, hdim, compute_dtype, name="update_block"
+            )
+        else:
+            update_block = BasicUpdateBlock(
+                cor_planes, hdim, dtype=compute_dtype, name="update_block"
+            )
+
+        def step(carry, _):
+            net, coords1 = carry
+            coords1 = lax.stop_gradient(coords1)
+            corr = lookup(pyramid, coords1)
+            flow = coords1 - coords0
+            net, up_mask, delta_flow, extras = update_block(
+                net, inp, corr, flow
+            )
+            coords1 = coords1 + delta_flow.astype(jnp.float32)
+            if up_mask is None:
+                flow_up = upflow8(coords1 - coords0)
+            else:
+                flow_up = upsample_flow_convex(coords1 - coords0, up_mask)
+            return (net, coords1), (flow_up, corr, extras)
+
+        # Unrolled refinement loop.  A lax.scan would give faster compiles,
+        # but flax submodule calls inside a raw scan body don't resolve
+        # params; the unrolled graph lets XLA share/fuse the iteration
+        # bodies and is required anyway for training (per-iteration flows)
+        # and feature taps.
+        carry = (net, coords1)
+        flow_predictions = []
+        for it in range(self.iters):
+            carry, (flow_up, corr, extras) = step(carry, None)
+            flow_predictions.append(flow_up)
+            if self.return_features:
+                motion_features, cor1, cor, cor_flo = extras
+                feats[f"idx_corr_vol_{it}"] = corr
+                feats[f"net_{it}"] = carry[0]
+                feats[f"motion_features_{it}"] = motion_features
+                feats[f"cor1_{it}"] = cor1
+                feats[f"cor_{it}"] = cor
+                feats[f"cor_flo_{it}"] = cor_flo
+                feats[f"flow_pred_{it}"] = flow_up
+        net, coords1 = carry
+        flow_up = flow_predictions[-1]
+
+        if not test_mode:
+            return flow_predictions
+        flow_low = coords1 - coords0
+        if self.return_features:
+            return flow_low, flow_up, feats
+        return flow_low, flow_up
+
+
+def _spatial_corr_lookup(pyramid: list[Array], coords: Array) -> Array:
+    """Spatial-corr mode lookup (corr.py:85-94): no sampling, each level is
+    nearest-upsampled back to full lookup resolution and concatenated."""
+    B, N, h0, w0 = pyramid[0].shape
+    H1, W1 = coords.shape[1], coords.shape[2]
+    out = []
+    for i, corr in enumerate(pyramid):
+        x = corr  # (B, 441, h, w)
+        for _ in range(i):
+            x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+        x = x[:, :, :H1, :W1]
+        out.append(x.transpose(0, 2, 3, 1))
+    return jnp.concatenate(out, axis=-1)
