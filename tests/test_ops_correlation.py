@@ -168,3 +168,42 @@ def test_corr_lookup_matches_torch_corrblock():
     ref = torch.cat(out_pyramid, dim=-1).numpy()
 
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+def test_corr_lookup_mxu_matches_gather():
+    """The MXU one-hot-selector lookup must match the gather formulation
+    exactly, including far out-of-volume coordinates."""
+    B, H, W, C = 2, 8, 16, 8
+    f1 = RNG.randn(B, H, W, C).astype(np.float32)
+    f2 = RNG.randn(B, H, W, C).astype(np.float32)
+    corr0 = ops.all_pairs_correlation(jnp.asarray(f1), jnp.asarray(f2))
+    pyr = ops.corr_pyramid(corr0, num_levels=3)
+
+    coords = (RNG.rand(B, H, W, 2) * np.array([W, H]) - 0.5).astype(np.float32)
+    # inject wild out-of-volume coords
+    coords[0, 0, 0] = [-50.0, -50.0]
+    coords[0, 0, 1] = [500.0, 500.0]
+    coords[0, 1, 0] = [-5.5, 3.2]
+    coords[0, 1, 1] = [W + 3.9, H + 4.9]
+    coords_j = jnp.asarray(coords)
+
+    ref = ops.corr_lookup(pyr, coords_j, radius=4, impl="gather")
+    got = ops.corr_lookup(pyr, coords_j, radius=4, impl="mxu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_corr_lookup_mxu_grad():
+    B, H, W, C = 1, 8, 8, 4
+    f1 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    coords = jnp.asarray(
+        (RNG.rand(B, H, W, 2) * np.array([W, H])).astype(np.float32)
+    )
+
+    def loss(a, b, c):
+        corr0 = ops.all_pairs_correlation(a, b)
+        pyr = ops.corr_pyramid(corr0, num_levels=2)
+        return jnp.sum(ops.corr_lookup(pyr, c, radius=2) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(f1, f2, coords)
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)

@@ -168,7 +168,9 @@ def fetch_model(
     h -= h % spec.size_multiple
     w -= w % spec.size_multiple
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = module.init(jax.random.PRNGKey(rng), dummy, dummy)
+    # jit the init: eager linen init dispatches thousands of tiny ops,
+    # which is pathologically slow over the tunneled TPU backend.
+    variables = jax.jit(module.init)(jax.random.PRNGKey(rng), dummy, dummy)
 
     ckpt = None
     if pretrained_path is not None and spec.checkpoint is not None:

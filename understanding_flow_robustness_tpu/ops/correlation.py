@@ -88,41 +88,56 @@ def _spatial_correlation_k1(
     f1: Array, f2: Array, patch_size: int, dilation_patch: int, impl: str
 ) -> Array:
     B, H, W, C = f1.shape
-    rad = (patch_size - 1) // 2
-    band = (patch_size - 1) * dilation_patch + 1
     if impl == "auto":
-        # Banded matmul computes a full (W, W) product; worth it once the
-        # band covers a sizable fraction of W (MXU FLOPs >> gather cost).
-        impl = "band" if band * 2 >= W else "shift"
+        # The banded-matmul path is all-MXU and compiles to ~2P einsums;
+        # the shifted-dot path emits P^2 fused elementwise ops (441 for
+        # FlowNetC), which is VPU-bound and very slow to compile.  Band
+        # wins everywhere we've measured; shift remains for cross-checks.
+        impl = "band"
 
     if impl == "band":
         return _corr_k1_band(f1, f2, patch_size, dilation_patch)
     return _corr_k1_shift(f1, f2, patch_size, dilation_patch)
 
 
-def _corr_k1_band(f1: Array, f2: Array, patch_size: int, dilation_patch: int) -> Array:
-    """Per-row full matmul + diagonal band gather (MXU path)."""
-    B, H, W, C = f1.shape
+def _band_selector(width: int, patch_size: int, dilation_patch: int):
+    """Static (W, W, P) 0/1 selector S with S[w, v, p] = 1 iff
+    v == w + (p - rad) * dilation_patch — turns the diagonal-band
+    extraction into an MXU einsum instead of a TPU-hostile gather."""
+    import numpy as np
+
     rad = (patch_size - 1) // 2
-    # Band gather indices: out[..., w, p] = E[..., w, w + (p - rad) * dil].
-    shifts = (jnp.arange(patch_size) - rad) * dilation_patch
-    idx = jnp.arange(W)[:, None] + shifts[None, :]  # (W, P)
-    valid = (idx >= 0) & (idx < W)
-    idxc = jnp.clip(idx, 0, W - 1)
+    w = np.arange(width)[:, None]
+    shifts = (np.arange(patch_size) - rad) * dilation_patch
+    tgt = w + shifts[None, :]  # (W, P)
+    sel = np.zeros((width, width, patch_size), np.float32)
+    valid = (tgt >= 0) & (tgt < width)
+    wi, pi = np.nonzero(valid)
+    sel[wi, tgt[wi, pi], pi] = 1.0
+    return jnp.asarray(sel)
+
+
+def _corr_k1_band(f1: Array, f2: Array, patch_size: int, dilation_patch: int) -> Array:
+    """Per-row full matmul + static-selector band contraction (MXU path).
+
+    For each vertical shift du: E = f1 @ shift(f2, du)^T over rows, then
+    band[..., w, p] = sum_v E[..., w, v] * S[w, v, p] — both stages are
+    dense matmuls, keeping the whole op on the MXU with zero gathers.
+    """
+    B, H, W, C = f1.shape
+    sel = _band_selector(W, patch_size, dilation_patch)
 
     rows = []
     for p in range(patch_size):
+        rad = (patch_size - 1) // 2
         du = (p - rad) * dilation_patch
         f2s = _shift2d(f2, du, 0)  # rows of f2 shifted vertically, zero pad
-        # (B, H, W, C) x (B, H, W', C) -> (B, H, W, W') on the MXU.
         e = jnp.einsum(
             "bhwc,bhvc->bhwv", f1, f2s,
             preferred_element_type=jnp.float32,
         )
-        bandvals = jnp.take_along_axis(
-            e, idxc[None, None, :, :], axis=3
-        ) * valid[None, None, :, :].astype(e.dtype)
-        rows.append(bandvals)  # (B, H, W, P)
+        band = jnp.einsum("bhwv,wvp->bhwp", e, sel)
+        rows.append(band)  # (B, H, W, P)
     out = jnp.stack(rows, axis=3)  # (B, H, W, P_u, P_v)
     return out.reshape(B, H, W, patch_size * patch_size).astype(f1.dtype)
 
@@ -225,7 +240,8 @@ def corr_pyramid(corr: Array, num_levels: int = 4) -> list[Array]:
     return pyr
 
 
-def corr_lookup(pyramid: list[Array], coords: Array, radius: int = 4) -> Array:
+def corr_lookup(pyramid: list[Array], coords: Array, radius: int = 4,
+                impl: str = "mxu") -> Array:
     """Radius-r window lookup into the correlation pyramid.
 
     pyramid[i]: (B, H1*W1, H2/2^i, W2/2^i); coords: (B, H1, W1, 2) in pixel
@@ -233,22 +249,93 @@ def corr_lookup(pyramid: list[Array], coords: Array, radius: int = 4) -> Array:
     (B, H1, W1, num_levels*(2r+1)^2), matching CorrBlock.__call__
     (models/raft/corr.py:72-96: per level, bilinear sample of a
     (2r+1)x(2r+1) grid centered at coords/2^i, align_corners=True, zeros).
+
+    impl="mxu" (default): gather-free.  All (2r+1)^2 sample points of a
+    query share one fractional offset, so the bilinear window lookup is a
+    separable pair of per-query one-hot-selector matmuls with the bilinear
+    weights baked in — XLA runs it entirely on the MXU, which is orders of
+    magnitude faster on TPU than the scalar gathers of the direct
+    formulation (impl="gather", kept as the semantic reference).
     """
+    if impl == "gather":
+        return _corr_lookup_gather(pyramid, coords, radius)
+    return _corr_lookup_mxu(pyramid, coords, radius)
+
+
+def _corr_lookup_mxu(pyramid: list[Array], coords: Array, radius: int) -> Array:
+    B, H1, W1, _ = coords.shape
+    N = H1 * W1
+    r = radius
+    n = 2 * r + 1
+    P = n + 1  # patch side incl. the +1 bilinear tap
+    # Zero padding of exactly one window side around each level: every
+    # bilinear tap of an in-volume window reads real memory, and a fully
+    # out-of-volume window clamped to the border reads only zeros — so the
+    # clamped-base formulation is exact for ALL coordinates.
+    pad = P
+
+    out = []
+    for i, corr in enumerate(pyramid):
+        Hl, Wl = corr.shape[2], corr.shape[3]
+        Hp, Wp = Hl + 2 * pad, Wl + 2 * pad
+        vol = jnp.pad(
+            corr.reshape(B, N, Hl, Wl),
+            ((0, 0), (0, 0), (pad, pad), (pad, pad)),
+        )
+
+        c = coords.reshape(B, N, 2) / (2 ** i)
+        cx, cy = c[..., 0], c[..., 1]
+        fx0 = jnp.floor(cx)
+        fy0 = jnp.floor(cy)
+        wx = (cx - fx0)[..., None, None]  # frac parts, shared by all taps
+        wy = (cy - fy0)[..., None, None]
+        ix0 = jnp.clip(fx0.astype(jnp.int32) - r + pad, 0, Wp - P)
+        iy0 = jnp.clip(fy0.astype(jnp.int32) - r + pad, 0, Hp - P)
+
+        # Separable bilinear selectors with weights baked in:
+        #   Wrow[b, q, t, h] = (1-wy)*[h == iy0+t] + wy*[h == iy0+t+1]
+        # so that (Wrow @ vol @ Wcol^T)[t, s] = bilinear(vol, y=cy+t-r,
+        # x=cx+s-r) exactly (zeros padding handles out-of-volume taps).
+        hh = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Hp), 3)
+        tt = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n, 1), 2)
+        row_base = iy0[..., None, None] + tt
+        wrow = (
+            (hh == row_base).astype(jnp.float32) * (1.0 - wy)
+            + (hh == row_base + 1).astype(jnp.float32) * wy
+        )  # (B, N, n, Hp)
+        ww = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Wp), 3)
+        col_base = ix0[..., None, None] + tt
+        wcol = (
+            (ww == col_base).astype(jnp.float32) * (1.0 - wx)
+            + (ww == col_base + 1).astype(jnp.float32) * wx
+        )  # (B, N, n, Wp)
+
+        rowsel = jnp.einsum(
+            "bqth,bqhw->bqtw", wrow, vol, preferred_element_type=jnp.float32
+        )
+        patch = jnp.einsum(
+            "bqtw,bqsw->bqts", rowsel, wcol, preferred_element_type=jnp.float32
+        )  # (B, N, n, n): [t, s] = sample at (y + t - r, x + s - r)
+        # Reference channel order is transposed: index a*n+b samples
+        # (x + a - r, y + b - r) (torch.meshgrid quirk, corr.py:79-85).
+        patch = patch.transpose(0, 1, 3, 2)
+        out.append(patch.reshape(B, H1, W1, n * n).astype(coords.dtype))
+    return jnp.concatenate(out, axis=-1)
+
+
+def _corr_lookup_gather(pyramid: list[Array], coords: Array, radius: int) -> Array:
     B, H1, W1, _ = coords.shape
     r = radius
     n = 2 * r + 1
     dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
     # Reference stacks meshgrid(dy, dx) -> delta[..., 0] = dy, [..., 1] = dx,
     # then adds to coords whose last dim is (x, y): so x += dy-grid values,
-    # y += dx-grid values.  Because the delta grid is symmetric this equals
-    # adding (dy varies over rows of the window, dx over cols) — reproduce
-    # the exact ordering so the flattened channel order matches.
+    # y += dx-grid values — reproduce the exact ordering so the flattened
+    # channel order matches.
     out = []
     for i, corr in enumerate(pyramid):
         Hl, Wl = corr.shape[2], corr.shape[3]
         c = coords.reshape(B, H1 * W1, 1, 2) / (2 ** i)
-        # window offsets, matching torch.meshgrid(dy, dx) + stack(-1):
-        # delta[a, b] = (dy[a], dx[b]) added to (x, y) respectively.
         dyg, dxg = jnp.meshgrid(dx, dx, indexing="ij")
         offs = jnp.stack([dyg, dxg], axis=-1).reshape(1, 1, n * n, 2)
         pts = c + offs  # (B, N, n*n, 2): x = c_x + dy, y = c_y + dx

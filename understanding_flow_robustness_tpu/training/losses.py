@@ -1,0 +1,163 @@
+"""Training losses (reference: training/utils.py:68-222).
+
+``sequence_loss`` — RAFT-style L1 over the per-iteration prediction list
+with gamma^(N-1-i) weighting and the valid & |gt|<MAX_FLOW mask.
+``multiscale_epe`` — FlowNetC/PWC-style per-scale EPE against area-resized
+GT with either the classic [0.005, 0.01, 0.02, 0.08, 0.32] weights or
+gamma^i.
+
+NHWC: flow tensors are (B, H, W, 2), valid is (B, H, W).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+MAX_FLOW = 400.0
+
+
+def _area_resize(flow: Array, h: int, w: int) -> Array:
+    """torch F.interpolate(mode="area") for integer downscale factors:
+    average pooling over the source blocks."""
+    B, H, W, C = flow.shape
+    if (H, W) == (h, w):
+        return flow
+    fh, fw = H // h, W // w
+    x = flow[:, : h * fh, : w * fw, :].reshape(B, h, fh, w, fw, C)
+    return jnp.mean(x, axis=(2, 4))
+
+
+def _masked_mean(x: Array, keep: Array) -> Array:
+    keep = keep.astype(x.dtype)
+    return jnp.sum(x * keep) / jnp.maximum(jnp.sum(keep), 1.0)
+
+
+def sequence_loss(
+    flow_preds: list[Array],
+    flow_gt: Array,
+    valid: Array,
+    gamma: float = 0.8,
+    max_flow: float = MAX_FLOW,
+    flownetc: bool = False,
+    pwc: bool = False,
+    not_excluding: bool = False,
+    div_flow: float = 1.0,
+    flownetc_weighing: bool = False,
+):
+    """training/utils.py:148-222.  Returns (loss, metrics dict)."""
+    n = len(flow_preds)
+    if div_flow > 1:
+        flow_gt = flow_gt / div_flow
+
+    mag = jnp.sqrt(jnp.sum(flow_gt ** 2, axis=-1))
+    keep = valid >= 0.5
+    if not not_excluding:
+        keep = keep & (mag < max_flow)
+
+    loss = 0.0
+    classic_w = [0.005, 0.01, 0.02, 0.08, 0.32]
+    for i, pred in enumerate(flow_preds):
+        if flownetc or pwc:
+            h, w = pred.shape[1:3]
+            scale = jnp.asarray(
+                [w / flow_gt.shape[2], h / flow_gt.shape[1]], pred.dtype
+            )
+            gt_s = _area_resize(flow_gt, h, w) * scale
+            i_loss = jnp.abs(pred - gt_s)
+            i_loss = jnp.where(jnp.isnan(i_loss), 0.0, i_loss)
+            weight = classic_w[i] if flownetc_weighing else gamma ** i
+            loss = loss + weight * jnp.mean(i_loss)
+        else:
+            i_loss = jnp.abs(pred - flow_gt)
+            weight = gamma ** (n - i - 1)
+            loss = loss + weight * jnp.mean(
+                keep[..., None].astype(i_loss.dtype) * i_loss
+            )
+
+    # EPE metrics on the final (RAFT) / first (FlowNetC-style) prediction
+    if flownetc or pwc:
+        h, w = flow_preds[0].shape[1:3]
+        scale = jnp.asarray(
+            [w / flow_gt.shape[2], h / flow_gt.shape[1]], flow_preds[0].dtype
+        )
+        gt_s = _area_resize(flow_gt, h, w) * scale
+        epe = jnp.sqrt(jnp.sum((flow_preds[0] - gt_s) ** 2, axis=-1))
+        epe_mask = jnp.ones_like(epe, bool)
+    else:
+        epe = jnp.sqrt(jnp.sum((flow_preds[-1] - flow_gt) ** 2, axis=-1))
+        epe_mask = keep
+
+    metrics = {
+        "epe": _masked_mean(epe, epe_mask),
+        "1px": _masked_mean((epe < 1).astype(jnp.float32), epe_mask),
+        "3px": _masked_mean((epe < 3).astype(jnp.float32), epe_mask),
+        "5px": _masked_mean((epe < 5).astype(jnp.float32), epe_mask),
+    }
+    return loss, metrics
+
+
+def multiscale_epe(
+    flow_preds: list[Array],
+    flow_gt: Array,
+    valid: Array,
+    gamma: float = 0.8,
+    max_flow: float = MAX_FLOW,
+    flownetc: bool = False,
+    pwc: bool = False,
+    not_excluding: bool = False,
+    div_flow: float = 1.0,
+    flownetc_weighing: bool = False,
+):
+    """training/utils.py:68-145: per-scale sqrt-sum-squared EPE maps against
+    area-interpolated (NOT u/v-rescaled for the epe metric, rescaled for the
+    loss) ground truth."""
+    n = len(flow_preds)
+    eps = 1e-5
+    if div_flow > 1:
+        flow_gt = flow_gt / div_flow
+
+    mag = jnp.sqrt(jnp.sum(flow_gt ** 2, axis=-1))
+    keep = valid >= 0.5
+    if not not_excluding:
+        keep = keep & (mag < max_flow)
+
+    loss = 0.0
+    classic_w = [0.005, 0.01, 0.02, 0.08, 0.32]
+    for i, pred in enumerate(flow_preds):
+        if flownetc or pwc:
+            h, w = pred.shape[1:3]
+            scale = jnp.asarray(
+                [w / flow_gt.shape[2], h / flow_gt.shape[1]], pred.dtype
+            )
+            gt_s = _area_resize(flow_gt, h, w) * scale
+            epe_map = jnp.sqrt(jnp.sum((pred - gt_s) ** 2, axis=-1) + eps)
+            epe_map = jnp.where(jnp.isnan(epe_map), 0.0, epe_map)
+            weight = classic_w[i] if flownetc_weighing else gamma ** i
+            loss = loss + weight * jnp.mean(epe_map)
+        else:
+            i_loss = jnp.abs(pred - flow_gt)
+            weight = gamma ** (n - i - 1)
+            loss = loss + weight * jnp.mean(
+                keep[..., None].astype(i_loss.dtype) * i_loss
+            )
+
+    if flownetc or pwc:
+        h, w = flow_preds[0].shape[1:3]
+        gt_s = _area_resize(flow_gt, h, w)
+        epe = jnp.sqrt(jnp.sum((flow_preds[0] - gt_s) ** 2, axis=-1))
+        epe_mask = jnp.ones_like(epe, bool)
+    else:
+        epe = jnp.sqrt(jnp.sum((flow_preds[-1] - flow_gt) ** 2, axis=-1))
+        epe_mask = keep
+
+    metrics = {
+        "epe": _masked_mean(epe, epe_mask),
+        "1px": _masked_mean((epe < 1).astype(jnp.float32), epe_mask),
+        "3px": _masked_mean((epe < 3).astype(jnp.float32), epe_mask),
+        "5px": _masked_mean((epe < 5).astype(jnp.float32), epe_mask),
+        "loss": loss,
+    }
+    return loss, metrics

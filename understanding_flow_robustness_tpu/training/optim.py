@@ -1,0 +1,57 @@
+"""Optimizer / LR schedule (reference: training/utils.py:225-239).
+
+AdamW + torch-style OneCycleLR with linear annealing: warm up from
+max_lr/div_factor over pct_start of the steps, then linearly anneal to
+max_lr/div_factor/final_div_factor — exactly torch's two-phase linear
+OneCycle (cycle_momentum=False).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+
+def onecycle_linear(
+    max_lr: float,
+    total_steps: int,
+    pct_start: float = 0.05,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1e4,
+):
+    initial = max_lr / div_factor
+    final = initial / final_div_factor
+    warm = max(int(pct_start * total_steps), 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        up = initial + (max_lr - initial) * jnp.minimum(step / warm, 1.0)
+        frac_down = jnp.clip(
+            (step - warm) / max(total_steps - warm, 1), 0.0, 1.0
+        )
+        down = max_lr + (final - max_lr) * frac_down
+        return jnp.where(step < warm, up, down)
+
+    return schedule
+
+
+def fetch_optimizer(
+    lr: float = 1e-4,
+    wdecay: float = 1e-4,
+    epsilon: float = 1e-8,
+    num_steps: int = 100000,
+    inner_iteration: int = 1,
+    clip: float = 1.0,
+):
+    """AdamW + OneCycle(linear, pct_start=0.05) with global-norm gradient
+    clipping (training/train.py:277-282 clips at 1.0 before stepping).
+    Total schedule steps = num_steps * inner_iteration + 100, matching
+    training/utils.py:231-238."""
+    schedule = onecycle_linear(lr, num_steps * inner_iteration + 100)
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adamw(
+            learning_rate=schedule, weight_decay=wdecay, eps=epsilon
+        ),
+    )
+    return tx, schedule

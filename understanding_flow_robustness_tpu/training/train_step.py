@@ -1,0 +1,104 @@
+"""Jitted training step with data-parallel sharding.
+
+Replaces the core of training/train.py:155-287: forward (per-iteration
+flow list), sequence/multiscale loss, grad clip 1.0, AdamW+OneCycle step —
+as one jitted function whose batch inputs are sharded over the mesh's
+``data`` axis (params replicated, gradient all-reduce inserted by XLA).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.mesh import batch_sharding, make_mesh, replicate, replicated
+from .losses import multiscale_epe, sequence_loss
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    step: int
+
+
+def make_train_step(
+    model: Any,
+    tx: optax.GradientTransformation,
+    loss_type: str = "sequence",
+    is_raft: bool = False,
+    flownetc: bool = False,
+    pwc: bool = False,
+    gamma: float = 0.8,
+    div_flow: float = 1.0,
+    flownetc_weighing: bool = False,
+    freeze_bn: bool = False,
+) -> Callable:
+    """Build the jittable train step.
+
+    Batch: dict(image1, image2 in [0,1] NHWC, flow (B,H,W,2), valid (B,H,W)).
+    Returns (new_params, new_opt_state, new_batch_stats, metrics).
+    """
+    loss_fn_impl = sequence_loss if loss_type == "sequence" else multiscale_epe
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"] if not freeze_bn else []
+        img1, img2 = batch["image1"], batch["image2"]
+        if is_raft:
+            img1, img2 = img1 * 255.0, img2 * 255.0
+            call_kw = dict(train=True, test_mode=False)
+        else:
+            call_kw = dict(train=True)
+        out = model.apply(variables, img1, img2, mutable=mutable, **call_kw)
+        if mutable:
+            preds, new_vars = out
+            new_stats = new_vars.get("batch_stats", batch_stats)
+        else:
+            preds, new_stats = out, batch_stats
+        preds = list(preds)
+        loss, metrics = loss_fn_impl(
+            preds, batch["flow"], batch["valid"],
+            gamma=gamma, flownetc=flownetc, pwc=pwc, div_flow=div_flow,
+            flownetc_weighing=flownetc_weighing,
+        )
+        return loss, (metrics, new_stats)
+
+    def train_step(params, opt_state, batch_stats, batch):
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, batch)
+        # NaN guard (training/train.py:270-272): skip the update entirely
+        # when the loss is not finite.
+        finite = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = dict(metrics, loss=loss)
+        return new_params, new_opt_state, new_stats, metrics
+
+    return train_step
+
+
+def shard_train_step(train_step: Callable, mesh):
+    """jit the step with params replicated and batch sharded over ``data``;
+    XLA inserts the psum gradient all-reduce over ICI."""
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, rep, rep, data),
+        out_shardings=(rep, rep, rep, rep),
+    )
