@@ -35,3 +35,45 @@ __all__ = [
     "perturb",
     "uniform_noise",
 ]
+
+from .patch import (  # noqa: E402
+    circle_transform,
+    create_circular_mask,
+    create_correlated_patch,
+    create_random_patch,
+    get_patch_and_mask,
+    get_self_correlated_patches,
+    init_patch_circle,
+    init_patch_square,
+    square_transform,
+)
+from .patch_attack import (  # noqa: E402
+    PatchAttackConfig,
+    make_patch_attack_step,
+    train_patch_epoch,
+    validate_patch,
+)
+from .universal import (  # noqa: E402
+    UniversalConfig,
+    make_universal_attack_step,
+    train_universal_perturbation,
+)
+
+__all__ += [
+    "PatchAttackConfig",
+    "UniversalConfig",
+    "circle_transform",
+    "create_circular_mask",
+    "create_correlated_patch",
+    "create_random_patch",
+    "get_patch_and_mask",
+    "get_self_correlated_patches",
+    "init_patch_circle",
+    "init_patch_square",
+    "make_patch_attack_step",
+    "make_universal_attack_step",
+    "square_transform",
+    "train_patch_epoch",
+    "train_universal_perturbation",
+    "validate_patch",
+]

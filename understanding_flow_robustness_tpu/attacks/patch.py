@@ -1,0 +1,279 @@
+"""Adversarial patch construction and placement (host-side numpy, NHWC).
+
+Reference: patch_attacks/utils_patch.py.  Patches are (1, h, w, 3) float
+arrays in [0, 1] with (1, h, w, 3) masks; placement produces full-image
+canvases (patch, mask, init) plus the location, as the reference does
+(utils_patch.py:257-358) — the canvases then feed the jitted on-device
+attack loop in patch_attack.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+from scipy.ndimage import rotate, zoom
+
+
+def create_circular_mask(h: int, w: int, center=None, radius=None) -> np.ndarray:
+    """utils_patch.py:760-766 (default radius leaves a 2px rim)."""
+    if center is None:
+        center = [int(w / 2), int(h / 2)]
+    if radius is None:
+        radius = min(center[0], center[1], w - center[0], h - center[1]) - 2
+    Y, X = np.ogrid[:h, :w]
+    dist = np.sqrt((X - center[0]) ** 2 + (Y - center[1]) ** 2)
+    return dist <= radius
+
+
+def init_patch_square(image_size: int, patch_size: float):
+    """utils_patch.py:769-775: random uniform patch with side
+    image_size * patch_size."""
+    dim = int(image_size * patch_size)
+    patch = np.random.rand(1, dim, dim, 3)
+    return patch, patch.shape
+
+
+def init_patch_circle(image_size: int, patch_size: float):
+    """utils_patch.py:250-254: square noise + circular mask."""
+    patch, shape = init_patch_square(image_size, patch_size)
+    mask = create_circular_mask(shape[1], shape[2]).astype("float32")
+    mask = np.tile(mask[None, :, :, None], (1, 1, 1, 3))
+    return patch, mask, patch.shape
+
+
+def create_random_patch(patch_type: str, patch_size: int) -> np.ndarray:
+    """utils_patch.py:38-59: gaussian/uniform/black/white/red/gray."""
+    if patch_type == "gaussian":
+        patch = np.random.normal(0.5, 0.5 ** 0.5, (patch_size, patch_size, 3))
+    elif patch_type == "uniform":
+        patch = np.random.uniform(0, 1, (patch_size, patch_size, 3))
+    elif patch_type == "black":
+        patch = np.zeros((patch_size, patch_size, 3))
+    elif patch_type == "white":
+        patch = np.ones((patch_size, patch_size, 3))
+    elif patch_type == "red":
+        patch = np.zeros((patch_size, patch_size, 3))
+        patch[..., 0] = 1
+    elif patch_type == "gray":
+        patch = 0.5 * np.ones((patch_size, patch_size, 3))
+    else:
+        raise ValueError(patch_type)
+    return patch[None]
+
+
+def get_self_correlated_patches() -> list[str]:
+    return [
+        "hstripes", "vstripes", "vstripes_greenWhite", "vstripes_redBlack",
+        "vstripes_redBlue", "vstripes_greenViolett", "vstripes_violettOrange",
+        "checkered", "sin", "circle",
+    ]
+
+
+def create_correlated_patch(patch_type: str, patch_size: int) -> np.ndarray:
+    """Handcrafted self-correlated patches (utils_patch.py:77-233): stripe
+    families (incl. rotated / parameterized thickness / colored), checkers,
+    sinusoid stripes, concentric circles."""
+    n = patch_size
+
+    def stripes(axis, fg=None, bg=None, thickness=2, alt=None):
+        patch = np.zeros((n, n, 3)) if bg is None else np.ones((n, n, 3)) * bg
+        for s in range(0, n, 2 * thickness):
+            sl = (slice(s, s + thickness), slice(None)) if axis == 0 else (
+                slice(None), slice(s, s + thickness))
+            patch[sl] = fg if fg is not None else 1
+        if alt is not None:
+            for s in range(thickness, n, 2 * thickness):
+                patch[:, s : s + thickness] = alt
+        return patch
+
+    if patch_type == "hstripes":
+        patch = stripes(0, fg=1)
+    elif "vstripes_greenWhite" in patch_type:
+        patch = np.ones((n, n, 3))
+        for s in range(0, n, 4):
+            patch[:, s : s + 2, 0] = 0
+            patch[:, s : s + 2, 2] = 0
+    elif "vstripes_redBlack" in patch_type:
+        patch = stripes(1, fg=[1, 0, 0])
+    elif "vstripes_redBlue" in patch_type:
+        patch = stripes(1, fg=[1, 0, 0], alt=[0, 0, 1])
+    elif "vstripes_violettOrange" in patch_type:
+        patch = stripes(1, fg=[0.9, 0.7, 0.3], alt=[0.8, 0.1, 0.8])
+    elif "vstripes_greenViolett" in patch_type:
+        patch = stripes(1, fg=[0.7, 0.8, 0.1], alt=[0.6, 0.0, 0.6])
+    elif "vstripes_strip" in patch_type:
+        t = int(re.findall(r"\d+", patch_type)[0])
+        patch = stripes(1, fg=1, thickness=t)
+    elif "vstripes_rot" in patch_type:
+        big = np.zeros((2 * n, 2 * n, 3))
+        for s in range(0, 2 * n, 4):
+            big[:, s : s + 2] = 1
+        angle = int(re.findall(r"\d+", patch_type)[0])
+        big = rotate(big, angle=angle, reshape=False, order=1)
+        patch = big[n // 2 : n // 2 + n, n // 2 : n // 2 + n]
+    elif "vstripes_Bcol" in patch_type and "_col" in patch_type:
+        nums = re.findall(r"[-+]?\d*\.\d+|\d+", patch_type)
+        patch = stripes(1, fg=float(nums[1]), bg=float(nums[0]))
+    elif "vstripes_Bcol" in patch_type:
+        bg = float(re.findall(r"\d+\.\d+", patch_type)[0])
+        patch = stripes(1, fg=1, bg=bg)
+    elif "vstripes_col" in patch_type:
+        col = float(re.findall(r"\d+\.\d+", patch_type)[0])
+        patch = stripes(1, fg=col)
+    elif "vstripes" in patch_type:
+        patch = stripes(1, fg=1)
+    elif patch_type == "checkered":
+        t = max(n // 48, 1)
+        patch = np.ones((n, n, 3))
+        for s in range(0, n, 2 * t):
+            patch[s : s + t, :, :] = 0
+            patch[:, s : s + t, :] = 0
+    elif patch_type == "sin":
+        t = max(n // 24, 1)
+        patch = np.zeros((n, n, 3))
+        sin_offset = 5 * np.sin(2 * np.pi * np.arange(n) / (0.25 * n)) + 5
+        for strip in range(0, n, 2 * t):
+            green = np.random.randint(1, 2)
+            patch[strip : strip + green, :, :] = 1
+            for i, y in enumerate(sin_offset):
+                y = int(y)
+                if y + strip > n:
+                    continue
+                if n < y + strip + t:
+                    patch[y + strip :, :, :] = 0
+                patch[y + strip : y + strip + t, i, 2] = 1
+                patch[y + strip : y + strip + t, i, 0] = 0
+    elif patch_type == "circle":
+        import cv2
+
+        patch = np.ones((n, n, 3)) * 255
+        t = max(n // 48, 1)
+        for radius in range(0, n // 2, 2 * t):
+            cv2.circle(patch, center=(n // 2, n // 2), radius=radius,
+                       color=(0, 0, 0), thickness=t)
+        patch = patch / 255
+    else:
+        raise ValueError(f"self-correlation type not implemented: {patch_type}")
+    return patch[None]
+
+
+def get_patch_and_mask(patch_size=None, patch_type="circle",
+                       self_correlated=None, random_type=None,
+                       patch_path=None, mask_path=None):
+    """utils_patch.py:13-35 (patch selection + default mask)."""
+    if self_correlated:
+        patch = create_correlated_patch(self_correlated, patch_size)
+    elif random_type:
+        patch = create_random_patch(random_type, patch_size)
+    elif patch_path:
+        patch = np.load(patch_path)
+    else:
+        raise ValueError("need one of self_correlated/random_type/patch_path")
+    shape = patch.shape
+    if mask_path:
+        from ..flowviz import io as fio
+        from ..data.transforms import imresize
+
+        mask_img = imresize(fio.read_image(mask_path), shape[1:3]) / 256.0
+        mask = mask_img[None]
+    elif patch_type == "circle":
+        m = create_circular_mask(shape[1], shape[2]).astype("float32")
+        mask = np.tile(m[None, :, :, None], (1, 1, 1, 3))
+    else:
+        mask = np.ones(shape, np.float32)
+    return patch, shape, mask
+
+
+def circle_transform(patch, mask, patch_init, data_shape, patch_shape,
+                     margin=0, center=False, norotate=False,
+                     fixed_loc=(-1, -1), moving=False):
+    """Random jitter/zoom/rotate + placement into a full-image canvas
+    (utils_patch.py:257-358).  data_shape is the NHWC image batch shape.
+    Returns (canvas, mask_canvas, init_canvas, rx, ry, patch_shape)."""
+    if not moving:
+        patch = patch + np.random.random() * 0.1 - 0.05
+    patch = np.clip(patch, 0.0, 1.0)
+    patch = patch * mask
+
+    B, image_h, image_w = data_shape[0], data_shape[1], data_shape[2]
+    x = np.zeros(data_shape)
+    xm = np.zeros(data_shape)
+    xp = np.zeros(data_shape)
+
+    if not moving:
+        zf = 1 + 0.05 * (np.random.random() - 0.5)
+        patch = zoom(patch, zoom=(1, zf, zf, 1), order=1)
+        mask = zoom(mask, zoom=(1, zf, zf, 1), order=0)
+        patch_init = zoom(patch_init, zoom=(1, zf, zf, 1), order=1)
+    patch_shape = patch.shape
+    m_size = patch.shape[2]
+
+    rx = ry = 0
+    for i in range(B):
+        if not norotate:
+            rot = 10 * (np.random.random() - 0.5)
+            patch[i] = rotate(patch[i], angle=rot, axes=(0, 1),
+                              reshape=False, order=1)
+            patch_init[i] = rotate(patch_init[i], angle=rot, axes=(0, 1),
+                                   reshape=False, order=1)
+        if fixed_loc[0] < 0 or fixed_loc[1] < 0:
+            if center:
+                rx = (image_w - m_size) // 2
+                ry = (image_h - m_size) // 2
+            else:
+                rx = m_size + margin + np.random.choice(
+                    image_w - 2 * m_size - 2 * margin - 2
+                )
+                ry = m_size + np.random.choice(image_h - 2 * m_size - 2)
+        else:
+            rx, ry = fixed_loc
+
+        ph, pw = patch_shape[1], patch_shape[2]
+        x[i, ry : ry + ph, rx : rx + pw] = patch[i]
+        xm[i, ry : ry + ph, rx : rx + pw] = mask[i]
+        xp[i, ry : ry + ph, rx : rx + pw] = patch_init[i]
+
+    return x, xm, xp, rx, ry, patch_shape
+
+
+def square_transform(patch, mask, patch_init, data_shape, patch_shape,
+                     norotate=False):
+    """utils_patch.py:781-846: random 90-degree rotation + placement."""
+    B, image_h, image_w = data_shape[0], data_shape[1], data_shape[2]
+    x = np.zeros(data_shape)
+    xm = np.zeros(data_shape)
+    xp = np.zeros(data_shape)
+    m_size = patch_shape[2]
+    rx = ry = 0
+    for i in range(B):
+        if not norotate:
+            rot = np.random.choice(4)
+            patch[i] = np.rot90(patch[i], rot, axes=(0, 1))
+            mask[i] = np.rot90(mask[i], rot, axes=(0, 1))
+            patch_init[i] = np.rot90(patch_init[i], rot, axes=(0, 1))
+        rx = np.random.choice(image_w - m_size - 1)
+        ry = np.random.choice(image_h - m_size - 1)
+        ph, pw = patch_shape[1], patch_shape[2]
+        x[i, ry : ry + ph, rx : rx + pw] = patch[i]
+        xm[i, ry : ry + ph, rx : rx + pw] = mask[i]
+        xp[i, ry : ry + ph, rx : rx + pw] = patch_init[i]
+    return x, xm, xp, rx, ry
+
+
+def extract_patch(canvas, rx, ry, patch_shape) -> np.ndarray:
+    """Extract the patch region back out of a full-image canvas
+    (patch_attacks/main.py:408-430)."""
+    ph, pw = patch_shape[1], patch_shape[2]
+    return np.array(canvas[:, ry : ry + ph, rx : rx + pw, :])
+
+
+def rezoom_to(patch, mask, patch_init, patch_shape, orig_shape):
+    """Re-zoom the extracted patch back to the original patch size
+    (patch_attacks/main.py:432-462)."""
+    fy = orig_shape[1] / patch_shape[1]
+    fx = orig_shape[2] / patch_shape[2]
+    patch = zoom(patch, zoom=(1, fy, fx, 1), order=1)
+    mask = zoom(mask, zoom=(1, fy, fx, 1), order=0)
+    patch_init = zoom(patch_init, zoom=(1, fy, fx, 1), order=1)
+    return patch, mask, patch_init, patch.shape
