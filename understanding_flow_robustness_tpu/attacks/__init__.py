@@ -77,3 +77,15 @@ __all__ += [
     "train_universal_perturbation",
     "validate_patch",
 ]
+
+from . import corruptions, eval_utils, log_utils  # noqa: E402
+from .perturb_runner import RunConfig, build_arbitrary_gt, run as run_perturbation_eval  # noqa: E402
+
+__all__ += [
+    "RunConfig",
+    "build_arbitrary_gt",
+    "corruptions",
+    "eval_utils",
+    "log_utils",
+    "run_perturbation_eval",
+]

@@ -1,0 +1,533 @@
+"""Image corruptions (host-side numpy), severity 1-5.
+
+Replaces the ``imagecorruptions`` pip dependency the reference drives
+through PerturbationsModel.__image_corruptions (perturb_model.py:384-418)
+and the deterministic-frost fork (global_attacks/imagecorruptions_frost/
+corruption.py:9-190).  These are the standard Hendrycks & Dietterich
+ImageNet-C corruptions re-implemented on numpy/cv2/scipy; ``frost``
+supports a texture directory (the upstream package's frost photos) and
+falls back to a procedural plasma-fractal frost texture when none is
+available (this environment ships no assets), with the fork's
+deterministic ``idx`` parameter.
+
+API: ``corrupt(image_uint8_hwc, corruption_name, severity)`` and
+``get_corruption_names()`` mirroring the pip package.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def get_corruption_names(subset: str = "common") -> list[str]:
+    common = [
+        "gaussian_noise", "shot_noise", "impulse_noise", "defocus_blur",
+        "glass_blur", "motion_blur", "zoom_blur", "snow", "frost", "fog",
+        "brightness", "contrast", "elastic_transform", "pixelate",
+        "jpeg_compression",
+    ]
+    extra = ["speckle_noise", "gaussian_blur", "spatter", "saturate"]
+    if subset == "common":
+        return common
+    if subset == "all":
+        return common + extra
+    raise ValueError(subset)
+
+
+# ---------------------------------------------------------------------------
+# helpers (corruption.py:9-130 of the reference's frost fork)
+# ---------------------------------------------------------------------------
+
+
+def disk(radius, alias_blur=0.1, dtype=np.float32):
+    import cv2
+
+    if radius <= 8:
+        L = np.arange(-8, 8 + 1)
+        ksize = (3, 3)
+    else:
+        L = np.arange(-radius, radius + 1)
+        ksize = (5, 5)
+    X, Y = np.meshgrid(L, L)
+    aliased = np.array((X ** 2 + Y ** 2) <= radius ** 2, dtype=dtype)
+    aliased /= np.sum(aliased)
+    return cv2.GaussianBlur(aliased, ksize=ksize, sigmaX=alias_blur)
+
+
+def plasma_fractal(mapsize=256, wibbledecay=3, rng=None):
+    """Diamond-square heightmap in [0, 1]."""
+    rng = rng or np.random
+    assert mapsize & (mapsize - 1) == 0
+    maparray = np.empty((mapsize, mapsize), dtype=np.float64)
+    maparray[0, 0] = 0
+    stepsize = mapsize
+    wibble = 100.0
+
+    def wibbledmean(array):
+        return array / 4 + wibble * rng.uniform(-wibble, wibble, array.shape)
+
+    while stepsize >= 2:
+        corner = maparray[0:mapsize:stepsize, 0:mapsize:stepsize]
+        sq = corner + np.roll(corner, -1, axis=0)
+        sq += np.roll(sq, -1, axis=1)
+        maparray[stepsize // 2 : mapsize : stepsize,
+                 stepsize // 2 : mapsize : stepsize] = wibbledmean(sq)
+
+        drgrid = maparray[stepsize // 2 : mapsize : stepsize,
+                          stepsize // 2 : mapsize : stepsize]
+        ulgrid = maparray[0:mapsize:stepsize, 0:mapsize:stepsize]
+        ltsum = (drgrid + np.roll(drgrid, 1, axis=0)) + (
+            ulgrid + np.roll(ulgrid, -1, axis=1)
+        )
+        maparray[0:mapsize:stepsize,
+                 stepsize // 2 : mapsize : stepsize] = wibbledmean(ltsum)
+        ttsum = (drgrid + np.roll(drgrid, 1, axis=1)) + (
+            ulgrid + np.roll(ulgrid, -1, axis=0)
+        )
+        maparray[stepsize // 2 : mapsize : stepsize,
+                 0:mapsize:stepsize] = wibbledmean(ttsum)
+        stepsize //= 2
+        wibble /= wibbledecay
+
+    maparray -= maparray.min()
+    return maparray / maparray.max()
+
+
+def clipped_zoom(img, zoom_factor):
+    from scipy.ndimage import zoom as scizoom
+
+    ch0 = int(np.ceil(img.shape[0] / float(zoom_factor)))
+    top0 = (img.shape[0] - ch0) // 2
+    ch1 = int(np.ceil(img.shape[1] / float(zoom_factor)))
+    top1 = (img.shape[1] - ch1) // 2
+    out = scizoom(img[top0 : top0 + ch0, top1 : top1 + ch1],
+                  (zoom_factor, zoom_factor, 1), order=1)
+    # zoomed output may be a pixel off; center-crop/pad to the input size
+    h, w = img.shape[:2]
+    oh, ow = out.shape[:2]
+    sy = max((oh - h) // 2, 0)
+    sx = max((ow - w) // 2, 0)
+    out = out[sy : sy + h, sx : sx + w]
+    if out.shape[:2] != (h, w):
+        out = np.pad(out, ((0, h - out.shape[0]), (0, w - out.shape[1]),
+                           (0, 0)), mode="edge")
+    return out
+
+
+def _motion_blur_kernel(radius, sigma):
+    width = radius * 2 + 1
+    k = np.exp(-(np.arange(width) - radius) ** 2 / (2 * sigma ** 2))
+    return k / k.sum()
+
+
+def rgb2gray(rgb):
+    return np.dot(rgb[..., :3], [0.2989, 0.5870, 0.1140])
+
+
+# ---------------------------------------------------------------------------
+# corruptions (x: uint8 HWC RGB)
+# ---------------------------------------------------------------------------
+
+
+def gaussian_noise(x, severity=1):
+    c = [0.08, 0.12, 0.18, 0.26, 0.38][severity - 1]
+    x = np.asarray(x, np.float64) / 255.0
+    return np.clip(x + np.random.normal(size=x.shape, scale=c), 0, 1) * 255
+
+
+def shot_noise(x, severity=1):
+    c = [60, 25, 12, 5, 3][severity - 1]
+    x = np.asarray(x, np.float64) / 255.0
+    return np.clip(np.random.poisson(x * c) / float(c), 0, 1) * 255
+
+
+def impulse_noise(x, severity=1):
+    c = [0.03, 0.06, 0.09, 0.17, 0.27][severity - 1]
+    x = np.asarray(x, np.float64) / 255.0
+    mask = np.random.rand(*x.shape[:2])
+    salt = mask < c / 2
+    pepper = mask > 1 - c / 2
+    x[salt] = 1.0
+    x[pepper] = 0.0
+    return np.clip(x, 0, 1) * 255
+
+
+def speckle_noise(x, severity=1):
+    c = [0.15, 0.2, 0.35, 0.45, 0.6][severity - 1]
+    x = np.asarray(x, np.float64) / 255.0
+    return np.clip(x + x * np.random.normal(size=x.shape, scale=c), 0, 1) * 255
+
+
+def gaussian_blur(x, severity=1):
+    from scipy.ndimage import gaussian_filter
+
+    c = [1, 2, 3, 4, 6][severity - 1]
+    x = gaussian_filter(np.asarray(x, np.float64) / 255.0, sigma=(c, c, 0))
+    return np.clip(x, 0, 1) * 255
+
+
+def glass_blur(x, severity=1):
+    from scipy.ndimage import gaussian_filter
+
+    sigma, max_delta, iterations = [
+        (0.7, 1, 2), (0.9, 2, 1), (1, 2, 3), (1.1, 3, 2), (1.5, 4, 2)
+    ][severity - 1]
+    x = np.uint8(
+        gaussian_filter(np.asarray(x, np.float64) / 255.0,
+                        sigma=(sigma, sigma, 0)) * 255
+    )
+    h, w = x.shape[:2]
+    for _ in range(iterations):
+        dy = np.random.randint(-max_delta, max_delta + 1, (h - 2 * max_delta,
+                                                           w - 2 * max_delta))
+        dx = np.random.randint(-max_delta, max_delta + 1, dy.shape)
+        ys, xs = np.mgrid[max_delta : h - max_delta, max_delta : w - max_delta]
+        yp, xp = ys + dy, xs + dx
+        tmp = x[ys, xs].copy()
+        x[ys, xs] = x[yp, xp]
+        x[yp, xp] = tmp
+    return np.clip(
+        gaussian_filter(x / 255.0, sigma=(sigma, sigma, 0)), 0, 1
+    ) * 255
+
+
+def defocus_blur(x, severity=1):
+    import cv2
+
+    radius, alias = [(3, 0.1), (4, 0.5), (6, 0.5), (8, 0.5), (10, 0.5)][
+        severity - 1
+    ]
+    x = np.asarray(x, np.float64) / 255.0
+    kernel = disk(radius=radius, alias_blur=alias)
+    channels = [cv2.filter2D(x[:, :, d], -1, kernel) for d in range(3)]
+    return np.clip(np.stack(channels, -1), 0, 1) * 255
+
+
+def motion_blur(x, severity=1):
+    import cv2
+
+    radius, sigma = [(10, 3), (15, 5), (15, 8), (15, 12), (20, 15)][
+        severity - 1
+    ]
+    x = np.asarray(x, np.float64)
+    angle = np.random.uniform(-45, 45)
+    k1d = _motion_blur_kernel(radius, sigma)
+    width = k1d.shape[0]
+    kernel = np.zeros((width, width))
+    kernel[width // 2, :] = k1d
+    rot = cv2.getRotationMatrix2D((width / 2 - 0.5, width / 2 - 0.5), angle, 1)
+    kernel = cv2.warpAffine(kernel, rot, (width, width))
+    kernel /= kernel.sum()
+    out = np.stack(
+        [cv2.filter2D(x[:, :, d], -1, kernel) for d in range(3)], -1
+    )
+    return np.clip(out, 0, 255)
+
+
+def zoom_blur(x, severity=1):
+    c = [
+        np.arange(1, 1.11, 0.01), np.arange(1, 1.16, 0.01),
+        np.arange(1, 1.21, 0.02), np.arange(1, 1.26, 0.02),
+        np.arange(1, 1.31, 0.03),
+    ][severity - 1]
+    x = (np.asarray(x, np.float64) / 255.0)
+    out = np.zeros_like(x)
+    for zf in c:
+        out += clipped_zoom(x, zf)
+    x = (x + out) / (len(c) + 1)
+    return np.clip(x, 0, 1) * 255
+
+
+def fog(x, severity=1):
+    c = [(1.5, 2), (2.0, 2), (2.5, 1.7), (2.5, 1.5), (3.0, 1.4)][severity - 1]
+    x = np.asarray(x, np.float64) / 255.0
+    max_val = x.max()
+    h, w = x.shape[:2]
+    mapsize = 1 << int(np.ceil(np.log2(max(h, w))))
+    fog_layer = c[0] * plasma_fractal(mapsize=mapsize,
+                                      wibbledecay=c[1])[:h, :w][..., None]
+    x += fog_layer
+    return np.clip(x * max_val / (max_val + c[0]), 0, 1) * 255
+
+
+_FROST_CACHE: dict = {}
+
+
+def _frost_texture(idx: int, frost_dir: str | None):
+    """Frost photo from ``frost_dir`` if available (upstream package
+    assets), else a cached procedural icy texture (plasma fractal with
+    directional streaks)."""
+    import cv2
+
+    key = (idx, frost_dir)
+    if key in _FROST_CACHE:
+        return _FROST_CACHE[key]
+    tex = None
+    if frost_dir:
+        names = ["frost1.png", "frost2.png", "frost3.png", "frost4.jpg",
+                 "frost5.jpg", "frost6.jpg"]
+        path = os.path.join(frost_dir, names[idx % len(names)])
+        if os.path.exists(path):
+            tex = cv2.imread(path)[..., ::-1].astype(np.float64)
+    if tex is None:
+        rng = np.random.RandomState(1234 + idx)
+        base = plasma_fractal(mapsize=512, wibbledecay=2.2, rng=rng)
+        streaks = plasma_fractal(mapsize=512, wibbledecay=4, rng=rng)
+        tex = np.clip(0.6 * base + 0.6 * streaks ** 2, 0, 1)
+        tex = cv2.resize(tex, (640, 512), interpolation=cv2.INTER_CUBIC)
+        tex = (np.stack([tex, tex, np.minimum(tex * 1.1, 1)], -1) * 255)
+    _FROST_CACHE[key] = tex
+    return tex
+
+
+def frost(x, severity=1, idx=None, frost_dir=None):
+    """corruption.py:133-186 (deterministic-idx variant used with
+    perturb_mode='same', perturb_model.py:399-417)."""
+    import cv2
+
+    c = [(1, 0.4), (0.8, 0.6), (0.7, 0.7), (0.65, 0.7), (0.6, 0.75)][
+        severity - 1
+    ]
+    if idx is None:
+        idx = np.random.randint(6)
+    tex = _frost_texture(idx, frost_dir)
+    x = np.asarray(x, np.float64)
+    xh, xw = x.shape[:2]
+    th, tw = tex.shape[:2]
+    scale = max(xh / th, xw / tw, 1.0) * 1.1
+    tex = cv2.resize(tex, (int(np.ceil(tw * scale)), int(np.ceil(th * scale))),
+                     interpolation=cv2.INTER_CUBIC)
+    ys = np.random.randint(0, tex.shape[0] - xh + 1)
+    xs = np.random.randint(0, tex.shape[1] - xw + 1)
+    tex = tex[ys : ys + xh, xs : xs + xw]
+    return np.clip(c[0] * x + c[1] * tex, 0, 255)
+
+
+def snow(x, severity=1):
+    import cv2
+
+    c = [
+        (0.1, 0.3, 3, 0.5, 10, 4, 0.8),
+        (0.2, 0.3, 2, 0.5, 12, 4, 0.7),
+        (0.55, 0.3, 4, 0.9, 12, 8, 0.7),
+        (0.55, 0.3, 4.5, 0.85, 12, 8, 0.65),
+        (0.55, 0.3, 2.5, 0.85, 12, 12, 0.55),
+    ][severity - 1]
+    x = np.asarray(x, np.float64) / 255.0
+    h, w = x.shape[:2]
+    layer = np.random.normal(size=(h, w), loc=c[0], scale=c[1])
+    layer = clipped_zoom(layer[..., None], c[2])[..., 0]
+    layer[layer < c[3]] = 0
+
+    # motion-blur the snow layer
+    radius, sigma = c[4], c[5]
+    k1d = _motion_blur_kernel(radius, sigma)
+    width = k1d.shape[0]
+    kernel = np.zeros((width, width))
+    kernel[width // 2, :] = k1d
+    angle = np.random.uniform(-135, -45)
+    rot = cv2.getRotationMatrix2D((width / 2 - 0.5, width / 2 - 0.5), angle, 1)
+    kernel = cv2.warpAffine(kernel, rot, (width, width))
+    layer = cv2.filter2D(np.clip(layer, 0, 1), -1, kernel)[..., None]
+
+    x = c[6] * x + (1 - c[6]) * np.maximum(
+        x, rgb2gray(x)[..., None] * 1.5 + 0.5
+    )
+    return np.clip(x + layer + np.rot90(layer, k=2), 0, 1) * 255
+
+
+def brightness(x, severity=1):
+    import cv2
+
+    c = [0.1, 0.2, 0.3, 0.4, 0.5][severity - 1]
+    x = np.asarray(x, np.float64) / 255.0
+    hsv = cv2.cvtColor(np.float32(x), cv2.COLOR_RGB2HSV)
+    hsv[:, :, 2] = np.clip(hsv[:, :, 2] + c, 0, 1)
+    return np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), 0, 1) * 255
+
+
+def saturate(x, severity=1):
+    import cv2
+
+    c = [(0.3, 0), (0.1, 0), (2, 0), (5, 0.1), (20, 0.2)][severity - 1]
+    x = np.asarray(x, np.float64) / 255.0
+    hsv = cv2.cvtColor(np.float32(x), cv2.COLOR_RGB2HSV)
+    hsv[:, :, 1] = np.clip(hsv[:, :, 1] * c[0] + c[1], 0, 1)
+    return np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), 0, 1) * 255
+
+
+def contrast(x, severity=1):
+    c = [0.4, 0.3, 0.2, 0.1, 0.05][severity - 1]
+    x = np.asarray(x, np.float64) / 255.0
+    means = np.mean(x, axis=(0, 1), keepdims=True)
+    return np.clip((x - means) * c + means, 0, 1) * 255
+
+
+def elastic_transform(x, severity=1):
+    import cv2
+    from scipy.ndimage import gaussian_filter, map_coordinates
+
+    x = np.asarray(x, np.float64) / 255.0
+    shape = x.shape
+    c = [
+        (shape[0] * 2, shape[0] * 0.7, shape[0] * 0.1),
+        (shape[0] * 2, shape[0] * 0.08, shape[0] * 0.2),
+        (shape[0] * 0.05, shape[0] * 0.01, shape[0] * 0.02),
+        (shape[0] * 0.07, shape[0] * 0.01, shape[0] * 0.02),
+        (shape[0] * 0.12, shape[0] * 0.01, shape[0] * 0.02),
+    ][severity - 1]
+
+    center = np.float32(shape[:2]) // 2
+    sq_size = min(shape[:2]) // 3
+    pts1 = np.float32([
+        center + sq_size,
+        [center[0] + sq_size, center[1] - sq_size],
+        center - sq_size,
+    ])
+    pts2 = pts1 + np.random.uniform(-c[2], c[2], size=pts1.shape).astype(
+        np.float32
+    )
+    M = cv2.getAffineTransform(pts1, pts2)
+    x = cv2.warpAffine(x, M, shape[1::-1], borderMode=cv2.BORDER_REFLECT_101)
+
+    dx = (gaussian_filter(np.random.uniform(-1, 1, size=shape[:2]), c[1],
+                          mode="reflect", truncate=3) * c[0]).astype(np.float32)
+    dy = (gaussian_filter(np.random.uniform(-1, 1, size=shape[:2]), c[1],
+                          mode="reflect", truncate=3) * c[0]).astype(np.float32)
+    xg, yg, zg = np.meshgrid(np.arange(shape[1]), np.arange(shape[0]),
+                             np.arange(shape[2]))
+    indices = (np.reshape(yg + dy[..., None], (-1, 1)),
+               np.reshape(xg + dx[..., None], (-1, 1)),
+               np.reshape(zg, (-1, 1)))
+    out = map_coordinates(x, indices, order=1, mode="reflect").reshape(shape)
+    return np.clip(out, 0, 1) * 255
+
+
+def pixelate(x, severity=1):
+    import cv2
+
+    c = [0.6, 0.5, 0.4, 0.3, 0.25][severity - 1]
+    x = np.asarray(x, np.uint8)
+    h, w = x.shape[:2]
+    small = cv2.resize(x, (int(w * c), int(h * c)),
+                       interpolation=cv2.INTER_AREA)
+    return cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST).astype(
+        np.float64
+    )
+
+
+def jpeg_compression(x, severity=1):
+    import cv2
+
+    c = [25, 18, 15, 10, 7][severity - 1]
+    x = np.asarray(x, np.uint8)
+    _, enc = cv2.imencode(".jpg", x[..., ::-1],
+                          [int(cv2.IMWRITE_JPEG_QUALITY), c])
+    return cv2.imdecode(enc, cv2.IMREAD_COLOR)[..., ::-1].astype(np.float64)
+
+
+def spatter(x, severity=1):
+    import cv2
+    from scipy.ndimage import gaussian_filter
+
+    c = [
+        (0.65, 0.3, 4, 0.69, 0.6, 0), (0.65, 0.3, 3, 0.68, 0.6, 0),
+        (0.65, 0.3, 2, 0.68, 0.5, 0), (0.65, 0.3, 1, 0.65, 1.5, 1),
+        (0.67, 0.4, 1, 0.65, 1.5, 1),
+    ][severity - 1]
+    x = np.asarray(x, np.float64) / 255.0
+    liquid = np.random.normal(size=x.shape[:2], loc=c[0], scale=c[1])
+    liquid = gaussian_filter(liquid, sigma=c[2])
+    liquid[liquid < c[3]] = 0
+    if c[5] == 0:  # water
+        liquid = (liquid * 255).astype(np.uint8)
+        dist = 255 - cv2.Canny(liquid, 50, 150)
+        dist = cv2.distanceTransform(dist, cv2.DIST_L2, 5)
+        _, dist = cv2.threshold(dist, 20, 20, cv2.THRESH_TRUNC)
+        dist = cv2.blur(dist, (3, 3)).astype(np.uint8)
+        dist = cv2.equalizeHist(dist)
+        ker = np.array([[-2, -1, 0], [-1, 1, 1], [0, 1, 2]])
+        dist = cv2.filter2D(dist, cv2.CV_8U, ker)
+        dist = cv2.blur(dist, (3, 3)).astype(np.float32)
+        m = cv2.cvtColor(liquid * dist, cv2.COLOR_GRAY2RGBA)
+        m /= np.max(m, axis=(0, 1)) + 1e-8
+        m *= c[4]
+        color = np.concatenate(
+            (175 / 255.0 * np.ones_like(m[..., :1]),
+             238 / 255.0 * np.ones_like(m[..., :1]),
+             238 / 255.0 * np.ones_like(m[..., :1])), axis=2)
+        color = cv2.cvtColor(color.astype(np.float32), cv2.COLOR_RGB2RGBA)
+        xa = cv2.cvtColor(np.float32(x), cv2.COLOR_RGB2RGBA)
+        out = cv2.cvtColor(np.clip(xa + m * color, 0, 1),
+                           cv2.COLOR_RGBA2RGB) * 255
+        return out
+    # mud
+    m = np.where(liquid > c[3], 1, 0).astype(np.float32)
+    m = gaussian_filter(m, sigma=c[4])
+    m[m < 0.8] = 0
+    color = np.stack([63 / 255.0 * np.ones_like(x[..., 0]),
+                      42 / 255.0 * np.ones_like(x[..., 0]),
+                      20 / 255.0 * np.ones_like(x[..., 0])], -1) * m[..., None]
+    x *= (1 - m[..., None])
+    return np.clip(x + color, 0, 1) * 255
+
+
+_CORRUPTIONS = {
+    "gaussian_noise": gaussian_noise,
+    "shot_noise": shot_noise,
+    "impulse_noise": impulse_noise,
+    "speckle_noise": speckle_noise,
+    "gaussian_blur": gaussian_blur,
+    "glass_blur": glass_blur,
+    "defocus_blur": defocus_blur,
+    "motion_blur": motion_blur,
+    "zoom_blur": zoom_blur,
+    "fog": fog,
+    "frost": frost,
+    "snow": snow,
+    "brightness": brightness,
+    "contrast": contrast,
+    "elastic_transform": elastic_transform,
+    "pixelate": pixelate,
+    "jpeg_compression": jpeg_compression,
+    "spatter": spatter,
+    "saturate": saturate,
+}
+
+
+def corrupt(image: np.ndarray, corruption_name: str, severity: int = 1,
+            **kwargs) -> np.ndarray:
+    """Apply a corruption to a uint8 HWC RGB image; returns uint8."""
+    if corruption_name not in _CORRUPTIONS:
+        raise ValueError(
+            f"unknown corruption {corruption_name}; "
+            f"choices: {sorted(_CORRUPTIONS)}"
+        )
+    out = _CORRUPTIONS[corruption_name](image, severity, **kwargs)
+    return np.uint8(np.clip(out, 0, 255))
+
+
+def corrupt_pair(image0_01: np.ndarray, image1_01: np.ndarray,
+                 corruption_name: str, severity: int,
+                 mode: str = "both", frost_idx=None) -> tuple:
+    """PerturbationsModel.__image_corruptions semantics
+    (perturb_model.py:384-418): float [0,1] NHWC pair -> corrupted pair,
+    with perturb_mode='same' using the deterministic frost index for both
+    frames.  Returns float [0,1] arrays."""
+
+    def apply(im01, idx):
+        img = np.uint8(np.clip(im01[0] * 255.0, 0, 255))
+        kwargs = {}
+        if corruption_name == "frost" and idx is not None:
+            kwargs["idx"] = idx
+        out = corrupt(img, corruption_name, severity, **kwargs)
+        return (out.astype(np.float32) / 255.0)[None]
+
+    if mode == "same" and corruption_name == "frost":
+        idx = frost_idx if frost_idx is not None else np.random.randint(6)
+        return apply(image0_01, idx), apply(image1_01, idx)
+    out0 = apply(image0_01, None) if mode in ("both", "left", "same") else image0_01
+    out1 = apply(image1_01, None) if mode in ("both", "right", "same") else image1_01
+    return out0, out1

@@ -1,0 +1,198 @@
+"""Global-attack evaluation driver (reference: global_attacks/perturb_main.py).
+
+``run()`` reproduces the reference pipeline (:48-814): per frame pair —
+clean flow, attack (white-box jitted / noise / corruption / pre-trained
+universal perturbation), adversarial flow, noise-only flow — with sample
+dumps, per-frame timing, and the final ``validate`` aggregation.  The
+white-box attack itself is the jitted loop from
+attacks/global_attacks.py, so the reference's 40 host-synced
+forward+backwards collapse into one device program per pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..flowviz import flow_to_image
+from . import log_utils
+from .corruptions import corrupt_pair, get_corruption_names
+from .global_attacks import PerturbConfig, make_jitted_attack
+from .losses import compute_epe
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class RunConfig:
+    flownet: str = "FlowNetC"
+    perturb: PerturbConfig = dataclasses.field(default_factory=PerturbConfig)
+    n_height: int = 256
+    n_width: int = 640
+    output_path: str = "output/perturb"
+    seed: int = 0
+    write_out_frequency: int = 0        # dump every Nth sample (0 = off)
+    save_npy: bool = False
+    universal_perturbation_path: Optional[str] = None
+    arbitrary_gt: Optional[np.ndarray] = None   # fixed target for all pairs
+
+
+def build_arbitrary_gt(kind: str, helper_gt: np.ndarray,
+                       rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """Arbitrary attack targets (perturb_main.py:244-383):
+
+    * digit index — handled by the caller (a dataset sample's GT)
+    * "fun"       — a flow field drawing "42" (±90 px strokes on a -5 field)
+    * "uniform_N" — random U(-180, 180) blocks of size N
+    helper_gt: (H, W, 3) NHWC (u, v, valid).
+    """
+    rng = rng or np.random.RandomState(0)
+    H, W = helper_gt.shape[:2]
+    if kind == "fun":
+        gt = np.full_like(helper_gt, -5.0)
+        thickness, margin = 50, 20
+        idx = np.zeros((H, W), bool)
+        # "4"
+        idx[margin : 256 - margin, 225 : 225 + thickness] = True
+        idx[margin : 128, 125 : 125 + thickness] = True
+        idx[128 - thickness // 2 : 128 + thickness // 2,
+            125 : 225 + thickness] = True
+        gt[idx, 0] = -90
+        gt[idx, 1] = -90
+        # "2"
+        idx = np.zeros((H, W), bool)
+        idx[margin : margin + thickness, 400 : 500 + thickness] = True
+        idx[128 - thickness // 2 : 128 + thickness // 2,
+            400 : 500 + thickness] = True
+        idx[256 - margin - thickness : 256 - margin,
+            400 : 500 + thickness] = True
+        idx[margin : 128, 500 : 500 + thickness] = True
+        idx[128 : 256 - margin, 400 : 400 + thickness] = True
+        gt[idx, 0] = 90
+        gt[idx, 1] = 90
+        gt[..., 2] = 1
+        return gt
+    if kind.startswith("uniform"):
+        factor = int(kind[kind.rfind("_") + 1 :])
+        small = rng.uniform(
+            -180, 180, (H // factor, W // factor, helper_gt.shape[2])
+        ).astype(np.float32)
+        gt = np.repeat(np.repeat(small, factor, axis=0), factor, axis=1)
+        gt = gt[:H, :W]
+        if gt.shape[:2] != (H, W):
+            gt = np.pad(gt, ((0, H - gt.shape[0]), (0, W - gt.shape[1]),
+                             (0, 0)), mode="edge")
+        gt[..., 2] = 1
+        return gt
+    raise ValueError(kind)
+
+
+def run(
+    predict: Callable[[Array, Array], Array],
+    samples: Iterable,
+    cfg: RunConfig,
+) -> dict:
+    """Attack-evaluate over (img0, img1, gt_small, gt_full) NHWC [0,1]
+    samples (batch dim included).  Returns the aggregate metrics dict and
+    writes results{seed}.txt under the output path."""
+    os.makedirs(cfg.output_path, exist_ok=True)
+    seed = log_utils.find_unused_seed_results(cfg.output_path, cfg.seed)
+    paths = log_utils.create_write_folder_structure(cfg.output_path)
+    logf = os.path.join(cfg.output_path, f"log{seed}.txt")
+
+    predict_jit = jax.jit(predict)
+    method = cfg.perturb.perturb_method
+    is_corruption = method in get_corruption_names("all")
+    attack = None
+    if method in ("fgsm", "fgm", "ifgsm", "ifgm", "mifgsm", "mifgm",
+                  "gaussian", "uniform", "none"):
+        attack = make_jitted_attack(predict, cfg.perturb)
+
+    universal = None
+    if cfg.universal_perturbation_path:
+        universal = np.load(cfg.universal_perturbation_path)
+
+    rng_key = jax.random.PRNGKey(seed)
+    noises0, noises1, origins, outputs, gts = [], [], [], [], []
+    t_start = time.time()
+
+    for i, (img0, img1, gt_small, gt_full) in enumerate(samples):
+        img0 = jnp.asarray(img0, jnp.float32)
+        img1 = jnp.asarray(img1, jnp.float32)
+        flow_origin = predict_jit(img0, img1)
+
+        target = (
+            jnp.asarray(cfg.arbitrary_gt[None])
+            if cfg.arbitrary_gt is not None else jnp.asarray(gt_small)
+        )
+
+        if universal is not None:
+            # re-apply a pre-trained universal perturbation
+            # (perturb_main.py:450-464)
+            n0 = jnp.asarray(universal[:, 0])
+            n1 = jnp.asarray(universal[:, 1])
+            adv0 = jnp.clip(img0 + n0, 0.0, 1.0)
+            adv1 = jnp.clip(img1 + n1, 0.0, 1.0)
+            noise0, noise1 = adv0 - img0, adv1 - img1
+        elif is_corruption:
+            out0, out1 = corrupt_pair(
+                np.asarray(img0), np.asarray(img1), method,
+                int(cfg.perturb.output_norm),
+                mode=cfg.perturb.perturb_mode,
+            )
+            adv0 = jnp.asarray(np.clip(out0, 0, 1))
+            adv1 = jnp.asarray(np.clip(out1, 0, 1))
+            noise0, noise1 = adv0 - img0, adv1 - img1
+        else:
+            rng_key, sub = jax.random.split(rng_key)
+            noise0, noise1, adv0, adv1 = attack(img0, img1, target, sub)
+
+        flow_output = predict_jit(adv0, adv1)
+
+        # noise-only prediction (perturb_main.py:627-650): normalize each
+        # noise into [0, 1] and run the model on it
+        def norm01(x):
+            lo, hi = jnp.min(x), jnp.max(x)
+            return (x - lo) / (hi - lo + 1e-12)
+
+        flow_noise = predict_jit(norm01(noise0), norm01(noise1))
+
+        noises0.append(np.asarray(noise0[0]))
+        noises1.append(np.asarray(noise1[0]))
+        origins.append(np.asarray(flow_origin[0]))
+        outputs.append(np.asarray(flow_output[0]))
+        gts.append(np.asarray(jnp.asarray(gt_full)[0]))
+
+        if cfg.write_out_frequency and i % cfg.write_out_frequency == 0:
+            log_utils.write_out_sample(
+                paths, i,
+                image0=np.asarray(adv0[0]), image1=np.asarray(adv1[0]),
+                noise0=np.asarray(noise0[0]), noise1=np.asarray(noise1[0]),
+                flow_output=np.asarray(flow_output[0]),
+                flow_origin=np.asarray(flow_origin[0]),
+                flow_output_noise=np.asarray(flow_noise[0]),
+                save_npy=cfg.save_npy,
+            )
+
+        epe_before = float(compute_epe(jnp.asarray(gt_full), flow_origin))
+        epe_after = float(compute_epe(jnp.asarray(gt_full), flow_output))
+        log_utils.log(
+            f"[{i}] epe {epe_before:.3f} -> {epe_after:.3f}", logf,
+            to_console=False,
+        )
+
+    n = max(len(outputs), 1)
+    per_frame = (time.time() - t_start) / n
+    results = log_utils.validate(
+        noises0, noises1, origins, outputs, gts,
+        output_path=cfg.output_path, seed=seed,
+    )
+    log_utils.log(f"time_per_frame: {per_frame:.3f}s", logf, to_console=False)
+    results["time_per_frame"] = (per_frame, 0.0)
+    return results
