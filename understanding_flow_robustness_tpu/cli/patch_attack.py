@@ -1,0 +1,167 @@
+"""Universal adversarial patch training CLI
+(reference: patch_attacks/main.py:35-343).
+
+Optimizes a circular/square patch against a flow net over 3-frame KITTI
+sequences; per-epoch the patch is saved and validated (clean vs adversarial
+EPE/cossim).  Supports --synthetic for data-free smoke runs.
+
+Example:
+  python -m understanding_flow_robustness_tpu.cli.patch_attack \\
+      --flownet FlowNetC --patch-size 0.1 --epochs 2 --synthetic 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from ..attacks import (
+    PatchAttackConfig,
+    init_patch_circle,
+    init_patch_square,
+    make_patch_attack_step,
+    train_patch_epoch,
+    validate_patch,
+)
+from ..utils.meters import AverageMeter, make_summary_writer
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", type=str, default="datasets/KITTI/2012_prepared",
+                   help="prepared KITTI raw root (SequenceFolder)")
+    p.add_argument("--kitti-data", type=str, default="datasets/KITTI/scene_flow",
+                   help="KITTI scene-flow root for validation")
+    p.add_argument("--valset", type=str, default="kitti2015",
+                   choices=["kitti2012", "kitti2015"])
+    p.add_argument("--flownet", type=str, default="FlowNetC")
+    p.add_argument("--pretrained_path", type=str, default="pretrained_models")
+    p.add_argument("--patch-type", type=str, default="circle",
+                   choices=["circle", "square"])
+    p.add_argument("--patch-size", type=float, default=0.01,
+                   help="patch fraction of image size (main.py --patch-size)")
+    p.add_argument("--image-size", type=int, default=384)
+    p.add_argument("--lr", type=float, default=1e2)
+    p.add_argument("--alpha", type=float, default=0.0)
+    p.add_argument("--max-count", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--epoch-size", type=int, default=100)
+    p.add_argument("--l2", action="store_true", help="L2 loss (else cossim)")
+    p.add_argument("--norotate", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--name", type=str, default="patch_run")
+    p.add_argument("--output", type=str, default="output/patch_attacks")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--synthetic-size", type=int, nargs=2, default=(128, 192))
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    np.random.seed(args.seed)
+
+    from ..models import fetch_model
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    model = fetch_model(args.flownet, pretrained_path=(
+        args.pretrained_path if os.path.isdir(args.pretrained_path) else None
+    ))
+    predict_jit = jax.jit(lambda a, b: model.predict(a, b))
+
+    out_dir = os.path.join(args.output, args.name)
+    os.makedirs(os.path.join(out_dir, "patches"), exist_ok=True)
+    with open(os.path.join(out_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+    writer = make_summary_writer(os.path.join(out_dir, "tb"))
+
+    if args.patch_type == "circle":
+        patch, mask, patch_shape = init_patch_circle(
+            args.image_size, args.patch_size
+        )
+    else:
+        patch, patch_shape = init_patch_square(args.image_size, args.patch_size)
+        mask = np.ones(patch_shape, np.float32)
+    patch_init = patch.copy()
+
+    cfg = PatchAttackConfig(
+        lr=args.lr, alpha=args.alpha, max_count=args.max_count, l2=args.l2
+    )
+    attack_step = make_patch_attack_step(
+        lambda a, b: model.predict(a, b), cfg
+    )
+
+    def train_batches():
+        if args.synthetic:
+            rng = np.random.RandomState(args.seed)
+            h, w = args.synthetic_size
+            for _ in range(args.synthetic):
+                yield (rng.rand(1, h, w, 3).astype(np.float32),
+                       rng.rand(1, h, w, 3).astype(np.float32))
+            return
+        from ..data import Compose, RandomCrop, RandomHorizontalFlip, \
+            RandomScaleCrop, SequenceFolder, ToFloat01
+
+        transform = Compose([
+            RandomHorizontalFlip(),
+            RandomScaleCrop(256, 256) if args.image_size == 256
+            else RandomScaleCrop(args.image_size, 1280),
+            ToFloat01(),
+        ])
+        ds = SequenceFolder(args.data, seed=args.seed, train=True,
+                            sequence_length=3, transform=transform)
+        for i in range(len(ds)):
+            tgt, refs, _ = ds[i]
+            yield tgt[None], refs[1][None]
+
+    def val_samples():
+        if args.synthetic:
+            rng = np.random.RandomState(args.seed + 1)
+            h, w = args.synthetic_size
+            for _ in range(max(args.synthetic // 2, 1)):
+                tgt = rng.rand(1, h, w, 3).astype(np.float32)
+                fut = rng.rand(1, h, w, 3).astype(np.float32)
+                gt = np.zeros((1, h, w, 3), np.float32)
+                gt[..., 2] = 1
+                yield tgt, tgt, fut, gt
+            return
+        from ..data import Compose, Scale, ToFloat01, get_evaluation_set
+        from argparse import Namespace
+
+        ds = get_evaluation_set(args.valset, Namespace(
+            img_height=384, img_width=1280, kitti_dir=args.kitti_data,
+        ))
+        for i in range(len(ds)):
+            past, tgt, fut, gt_flow, _, _, _ = ds[i]
+            yield past[None], tgt[None], fut[None], gt_flow[None]
+
+    errors = AverageMeter(i=4)
+    for epoch in range(args.epochs):
+        patch, mask, patch_init, patch_shape = train_patch_epoch(
+            attack_step, predict_jit, patch, mask, patch_init, patch_shape,
+            train_batches(), patch_type=args.patch_type,
+            norotate=args.norotate, epoch_size=args.epoch_size,
+        )
+        metrics = validate_patch(
+            predict_jit, patch, mask, patch_shape, val_samples(),
+            patch_type=args.patch_type, norotate=args.norotate,
+        )
+        errors.update([metrics["epe"], metrics["adv_epe"],
+                       metrics["cos_sim"], metrics["adv_cos_sim"]])
+        np.save(os.path.join(out_dir, "patches", f"epoch_{epoch}.npy"), patch)
+        if writer is not None:
+            for k, v in metrics.items():
+                writer.add_scalar(f"val/{k}", v, epoch)
+        print(f"epoch {epoch}: epe {metrics['epe']:.3f} "
+              f"adv_epe {metrics['adv_epe']:.3f} "
+              f"cossim {metrics['cos_sim']:.3f} "
+              f"adv_cossim {metrics['adv_cos_sim']:.3f}")
+    return patch, mask
+
+
+if __name__ == "__main__":
+    main()

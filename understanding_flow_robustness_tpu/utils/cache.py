@@ -16,6 +16,9 @@ def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
     path = path or os.environ.get("UFR_COMPILE_CACHE", _DEFAULT_DIR)
+    # separate caches per backend: CPU AOT artifacts compiled elsewhere
+    # fail feature checks when loaded on a different machine
+    path = os.path.join(path, jax.default_backend())
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
