@@ -14,3 +14,8 @@ __all__ = [
     "sequence_loss",
     "shard_train_step",
 ]
+
+from . import checkpoint, evaluate, trainer  # noqa: E402
+from .trainer import TrainConfig, train  # noqa: E402
+
+__all__ += ["TrainConfig", "checkpoint", "evaluate", "train", "trainer"]

@@ -21,14 +21,15 @@ def onecycle_linear(
 ):
     initial = max_lr / div_factor
     final = initial / final_div_factor
-    warm = max(int(pct_start * total_steps), 1)
+    # torch OneCycleLR phase boundaries: warmup ends at step
+    # pct_start*total - 1, anneal ends at step total - 1
+    warm = max(float(pct_start * total_steps) - 1, 1.0)
+    down_len = max(total_steps - 1 - warm, 1.0)
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         up = initial + (max_lr - initial) * jnp.minimum(step / warm, 1.0)
-        frac_down = jnp.clip(
-            (step - warm) / max(total_steps - warm, 1), 0.0, 1.0
-        )
+        frac_down = jnp.clip((step - warm) / down_len, 0.0, 1.0)
         down = max_lr + (final - max_lr) * frac_down
         return jnp.where(step < warm, up, down)
 

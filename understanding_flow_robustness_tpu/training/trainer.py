@@ -1,0 +1,209 @@
+"""Full training loop (reference: training/train.py:95-353).
+
+Orchestrates: dataset stage, jitted data-parallel train step, adversarial
+training (per-batch jitted I-FGSM like the reference's eval-mode
+PerturbationsModel at :171-206, with the clean+adv concatenated batch at
+:218-221 and INNER_ITERATION reuse at :52,225), NaN guard, VAL_FREQ
+checkpoint+validation (:289-336), cluster time limit self-preemption
+(:50,340-345) and resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attacks.global_attacks import PerturbConfig, perturb
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from . import checkpoint as ckpt
+from .optim import fetch_optimizer
+from .train_step import make_train_step, shard_train_step
+
+VAL_FREQ = 5000            # training/train.py:49
+INNER_ITERATION = 3        # training/train.py:52 (adversarial training)
+TIME_LIMIT = 24 * 60 * 60 - 1000   # training/train.py:50
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    name: str = "flow"
+    stage: str = "chairs"
+    image_size: tuple[int, int] = (368, 496)
+    batch_size: int = 6
+    lr: float = 4e-4
+    wdecay: float = 1e-4
+    epsilon: float = 1e-8
+    clip: float = 1.0
+    gamma: float = 0.8
+    num_steps: int = 100000
+    val_freq: int = VAL_FREQ
+    checkpoint_dir: str = "checkpoints"
+    loss_type: str = "sequence"       # sequence | multiscale
+    flownetc: bool = False
+    pwc: bool = False
+    div_flow: float = 1.0
+    flownetc_weighing: bool = False
+    freeze_bn: bool = False           # non-chairs stages (train.py:131-137)
+    adversarial: bool = False
+    adv_config: PerturbConfig = dataclasses.field(
+        default_factory=lambda: PerturbConfig(
+            perturb_method="ifgsm", flow_loss="l2", output_norm=0.02
+        )
+    )
+    inner_iteration: int = 1
+    time_limit: float = TIME_LIMIT
+    n_devices: Optional[int] = None
+    seed: int = 1234
+
+
+def train(
+    cfg: TrainConfig,
+    model,                     # FlowModel bundle (models.registry)
+    batches: Callable[[], "iter"],
+    validate_fn: Optional[Callable] = None,
+    logger=None,
+):
+    """Run training; returns (params, batch_stats, total_steps).
+
+    ``batches()`` yields dict batches (image1/image2 [0,1] NHWC, flow,
+    valid).  Resumes from cfg.checkpoint_dir when a checkpoint exists and
+    stops early when total_steps has been reached (train.py:612-636) or
+    the time limit is near (:340-345).
+    """
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    with open(os.path.join(cfg.checkpoint_dir, "args.json"), "w") as f:
+        json.dump(
+            {k: str(v) for k, v in dataclasses.asdict(cfg).items()}, f,
+            indent=2,
+        )
+
+    inner = INNER_ITERATION if cfg.adversarial else cfg.inner_iteration
+    tx, _ = fetch_optimizer(
+        lr=cfg.lr, wdecay=cfg.wdecay, epsilon=cfg.epsilon,
+        num_steps=cfg.num_steps, inner_iteration=inner, clip=cfg.clip,
+    )
+
+    params = model.variables["params"]
+    batch_stats = model.variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    total_steps = 0
+
+    restored = ckpt.restore_checkpoint(
+        cfg.checkpoint_dir,
+        template={"params": params, "opt_state": opt_state,
+                  "batch_stats": batch_stats,
+                  "total_steps": np.asarray(0)},
+    )
+    if restored is not None:
+        params = restored["params"]
+        opt_state = restored["opt_state"]
+        batch_stats = restored["batch_stats"]
+        total_steps = int(restored["total_steps"])
+        print(f"resumed from step {total_steps}")
+    if total_steps >= cfg.num_steps:
+        print("fully trained")
+        return params, batch_stats, total_steps
+
+    mesh = make_mesh(cfg.n_devices)
+    step_fn = shard_train_step(
+        make_train_step(
+            model.module, tx, loss_type=cfg.loss_type, is_raft=model.is_raft,
+            flownetc=cfg.flownetc, pwc=cfg.pwc, gamma=cfg.gamma,
+            div_flow=cfg.div_flow, flownetc_weighing=cfg.flownetc_weighing,
+            freeze_bn=cfg.freeze_bn,
+        ),
+        mesh,
+    )
+
+    t_start = time.time()
+    rng_key = jax.random.PRNGKey(cfg.seed)
+    should_keep_training = True
+
+    with mesh:
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        batch_stats = replicate(mesh, batch_stats)
+
+        while should_keep_training:
+            for batch in batches():
+                if cfg.adversarial:
+                    # eval-mode attack on the batch, clean+adv concat
+                    # (train.py:171-221); batch_size 1 per the reference
+                    cur_params = params
+                    cur_stats = batch_stats
+
+                    def predict_now(a, b):
+                        variables = {"params": cur_params}
+                        if cur_stats:
+                            variables["batch_stats"] = cur_stats
+                        if model.is_raft:
+                            _, f = model.module.apply(
+                                variables, a * 255.0, b * 255.0,
+                                test_mode=True,
+                            )
+                            return f
+                        return model.module.apply(variables, a, b)
+
+                    rng_key, sub = jax.random.split(rng_key)
+                    gt = jnp.concatenate(
+                        [jnp.asarray(batch["flow"]),
+                         jnp.asarray(batch["valid"])[..., None]], axis=-1
+                    )
+                    _, _, adv1, adv2 = perturb(
+                        predict_now, jnp.asarray(batch["image1"]),
+                        jnp.asarray(batch["image2"]), gt,
+                        cfg.adv_config, sub,
+                    )
+                    batch = {
+                        "image1": np.concatenate(
+                            [batch["image1"], np.asarray(adv1)]),
+                        "image2": np.concatenate(
+                            [batch["image2"], np.asarray(adv2)]),
+                        "flow": np.concatenate([batch["flow"]] * 2),
+                        "valid": np.concatenate([batch["valid"]] * 2),
+                    }
+
+                dev_batch = shard_batch(mesh, {
+                    k: jnp.asarray(v) for k, v in batch.items()
+                    if k in ("image1", "image2", "flow", "valid")
+                })
+                for _ in range(inner):
+                    params, opt_state, batch_stats, metrics = step_fn(
+                        params, opt_state, batch_stats, dev_batch
+                    )
+                    total_steps += 1
+
+                if logger is not None:
+                    logger(total_steps, jax.tree_util.tree_map(
+                        lambda x: float(x), metrics))
+
+                if total_steps % cfg.val_freq == cfg.val_freq - 1:
+                    ckpt.save_checkpoint(
+                        cfg.checkpoint_dir, params, opt_state, batch_stats,
+                        total_steps,
+                    )
+                    if validate_fn is not None:
+                        validate_fn(params, batch_stats, total_steps)
+
+                if total_steps >= cfg.num_steps:
+                    should_keep_training = False
+                    break
+                if time.time() - t_start > cfg.time_limit:
+                    print("time limit reached; checkpointing for resume")
+                    should_keep_training = False
+                    break
+
+    ckpt.save_checkpoint(
+        cfg.checkpoint_dir, params, opt_state, batch_stats, total_steps
+    )
+    ckpt.save_weights(
+        os.path.join(cfg.checkpoint_dir, f"{cfg.name}.msgpack"), params
+    )
+    return params, batch_stats, total_steps
