@@ -1,5 +1,9 @@
 """Benchmark: KITTI-resolution inference throughput on one TPU chip.
 
+Timing uses the loop-differencing on-device harness
+(understanding_flow_robustness_tpu.utils.benchmark) — the tunneled backend
+is async and dedupes identical calls, so naive host loops are meaningless.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -40,19 +44,9 @@ def main():
     img1 = jnp.asarray(rng.rand(BATCH, H, W, 3).astype(np.float32))
     img2 = jnp.asarray(rng.rand(BATCH, H, W, 3).astype(np.float32))
 
-    pred = jax.jit(lambda a, b: model.predict(a, b))
-    out = pred(img1, img2)
-    out.block_until_ready()
-    for _ in range(WARMUP):
-        out = pred(img1, img2)
-    out.block_until_ready()
+    from understanding_flow_robustness_tpu.utils.benchmark import timed_loop
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = pred(img1, img2)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
-
+    dt = timed_loop(lambda a, b: model.predict(a, b), (img1, img2), n=ITERS)
     pairs_per_sec = BATCH / dt
     print(
         json.dumps(

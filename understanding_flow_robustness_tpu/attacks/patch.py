@@ -237,6 +237,56 @@ def circle_transform(patch, mask, patch_init, data_shape, patch_shape,
     return x, xm, xp, rx, ry, patch_shape
 
 
+def circle_transform_two_patches(patches, mask, patch_inits, data_shape,
+                                 patch_shape, margin=0, center=False,
+                                 norotate=False, fixed_loc=(-1, -1)):
+    """Place TWO patches with identical jitter/zoom/rotation/location
+    (utils_patch.py:361-496) — used by the feature-replacement analysis to
+    compare a uniform patch against the test patch at the same spot.
+    Returns (canvas1, canvas2, mask_canvas, init1, init2, rx, ry, shape)."""
+    noise = np.random.random() * 0.1 - 0.05
+    patches = [np.clip(p + noise, 0.0, 1.0) * mask for p in patches]
+
+    B, image_h, image_w = data_shape[0], data_shape[1], data_shape[2]
+    canvases = [np.zeros(data_shape), np.zeros(data_shape)]
+    xm = np.zeros(data_shape)
+    inits = [np.zeros(data_shape), np.zeros(data_shape)]
+
+    zf = 1 + 0.05 * (np.random.random() - 0.5)
+    patches = [zoom(p, zoom=(1, zf, zf, 1), order=1) for p in patches]
+    mask = zoom(mask, zoom=(1, zf, zf, 1), order=0)
+    patch_inits = [zoom(p, zoom=(1, zf, zf, 1), order=1) for p in patch_inits]
+    patch_shape = patches[0].shape
+    m_size = patch_shape[2]
+
+    rx = ry = 0
+    for i in range(B):
+        if not norotate:
+            rot = 10 * (np.random.random() - 0.5)
+            for k in range(2):
+                patches[k][i] = rotate(patches[k][i], angle=rot, axes=(0, 1),
+                                       reshape=False, order=1)
+                patch_inits[k][i] = rotate(patch_inits[k][i], angle=rot,
+                                           axes=(0, 1), reshape=False, order=1)
+        if fixed_loc[0] < 0 or fixed_loc[1] < 0:
+            if center:
+                rx = (image_w - m_size) // 2
+                ry = (image_h - m_size) // 2
+            else:
+                rx = m_size + margin + np.random.choice(
+                    image_w - 2 * m_size - 2 * margin - 2)
+                ry = m_size + np.random.choice(image_h - 2 * m_size - 2)
+        else:
+            rx, ry = fixed_loc
+        ph, pw = patch_shape[1], patch_shape[2]
+        for k in range(2):
+            canvases[k][i, ry : ry + ph, rx : rx + pw] = patches[k][i]
+            inits[k][i, ry : ry + ph, rx : rx + pw] = patch_inits[k][i]
+        xm[i, ry : ry + ph, rx : rx + pw] = mask[i]
+
+    return canvases[0], canvases[1], xm, inits[0], inits[1], rx, ry, patch_shape
+
+
 def square_transform(patch, mask, patch_init, data_shape, patch_shape,
                      norotate=False):
     """utils_patch.py:781-846: random 90-degree rotation + placement."""

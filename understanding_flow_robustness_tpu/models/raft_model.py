@@ -453,7 +453,11 @@ class RAFT(nn.Module):
         if self.compute_spatial:
             lookup = _spatial_corr_lookup
         else:
-            lookup = lambda pyr, c: corr_lookup(pyr, c, self.radius)
+            # bf16 lookup traffic under mixed precision: the window lookup
+            # is HBM-bound on the (N, H/8, W/8) volume, accumulation f32
+            lookup = lambda pyr, c: corr_lookup(
+                pyr, c, self.radius, compute_dtype=compute_dtype
+            )
 
         cor_planes = (
             self.corr_levels * (21 ** 2) if self.compute_spatial

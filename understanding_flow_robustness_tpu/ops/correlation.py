@@ -241,7 +241,7 @@ def corr_pyramid(corr: Array, num_levels: int = 4) -> list[Array]:
 
 
 def corr_lookup(pyramid: list[Array], coords: Array, radius: int = 4,
-                impl: str = "mxu") -> Array:
+                impl: str = "mxu", compute_dtype=None) -> Array:
     """Radius-r window lookup into the correlation pyramid.
 
     pyramid[i]: (B, H1*W1, H2/2^i, W2/2^i); coords: (B, H1, W1, 2) in pixel
@@ -249,6 +249,10 @@ def corr_lookup(pyramid: list[Array], coords: Array, radius: int = 4,
     (B, H1, W1, num_levels*(2r+1)^2), matching CorrBlock.__call__
     (models/raft/corr.py:72-96: per level, bilinear sample of a
     (2r+1)x(2r+1) grid centered at coords/2^i, align_corners=True, zeros).
+
+    compute_dtype: optional dtype (e.g. bf16) for the volume + selector
+    traffic of the MXU path — the lookup is HBM-bound, so halving the
+    element size nearly halves its cost; accumulation stays f32.
 
     impl="mxu" (default): gather-free.  All (2r+1)^2 sample points of a
     query share one fractional offset, so the bilinear window lookup is a
@@ -259,29 +263,23 @@ def corr_lookup(pyramid: list[Array], coords: Array, radius: int = 4,
     """
     if impl == "gather":
         return _corr_lookup_gather(pyramid, coords, radius)
-    return _corr_lookup_mxu(pyramid, coords, radius)
+    return _corr_lookup_mxu(pyramid, coords, radius, compute_dtype)
 
 
-def _corr_lookup_mxu(pyramid: list[Array], coords: Array, radius: int) -> Array:
+def _corr_lookup_mxu(pyramid: list[Array], coords: Array, radius: int,
+                     compute_dtype=None) -> Array:
     B, H1, W1, _ = coords.shape
     N = H1 * W1
     r = radius
     n = 2 * r + 1
-    P = n + 1  # patch side incl. the +1 bilinear tap
-    # Zero padding of exactly one window side around each level: every
-    # bilinear tap of an in-volume window reads real memory, and a fully
-    # out-of-volume window clamped to the border reads only zeros — so the
-    # clamped-base formulation is exact for ALL coordinates.
-    pad = P
+    sel_dtype = compute_dtype or jnp.float32
 
     out = []
     for i, corr in enumerate(pyramid):
         Hl, Wl = corr.shape[2], corr.shape[3]
-        Hp, Wp = Hl + 2 * pad, Wl + 2 * pad
-        vol = jnp.pad(
-            corr.reshape(B, N, Hl, Wl),
-            ((0, 0), (0, 0), (pad, pad), (pad, pad)),
-        )
+        vol = corr.reshape(B, N, Hl, Wl)
+        if compute_dtype is not None:
+            vol = vol.astype(compute_dtype)
 
         c = coords.reshape(B, N, 2) / (2 ** i)
         cx, cy = c[..., 0], c[..., 1]
@@ -289,30 +287,32 @@ def _corr_lookup_mxu(pyramid: list[Array], coords: Array, radius: int) -> Array:
         fy0 = jnp.floor(cy)
         wx = (cx - fx0)[..., None, None]  # frac parts, shared by all taps
         wy = (cy - fy0)[..., None, None]
-        ix0 = jnp.clip(fx0.astype(jnp.int32) - r + pad, 0, Wp - P)
-        iy0 = jnp.clip(fy0.astype(jnp.int32) - r + pad, 0, Hp - P)
+        ix0 = fx0.astype(jnp.int32) - r
+        iy0 = fy0.astype(jnp.int32) - r
 
         # Separable bilinear selectors with weights baked in:
         #   Wrow[b, q, t, h] = (1-wy)*[h == iy0+t] + wy*[h == iy0+t+1]
         # so that (Wrow @ vol @ Wcol^T)[t, s] = bilinear(vol, y=cy+t-r,
-        # x=cx+s-r) exactly (zeros padding handles out-of-volume taps).
-        hh = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Hp), 3)
+        # x=cx+s-r).  Out-of-volume taps simply never match the iota
+        # comparison, giving an all-zero selector row — exactly the
+        # reference's zeros-padding semantics with no padding or clamping.
+        hh = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Hl), 3)
         tt = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n, 1), 2)
         row_base = iy0[..., None, None] + tt
         wrow = (
             (hh == row_base).astype(jnp.float32) * (1.0 - wy)
             + (hh == row_base + 1).astype(jnp.float32) * wy
-        )  # (B, N, n, Hp)
-        ww = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Wp), 3)
+        ).astype(sel_dtype)  # (B, N, n, Hl)
+        ww = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Wl), 3)
         col_base = ix0[..., None, None] + tt
         wcol = (
             (ww == col_base).astype(jnp.float32) * (1.0 - wx)
             + (ww == col_base + 1).astype(jnp.float32) * wx
-        )  # (B, N, n, Wp)
+        ).astype(sel_dtype)  # (B, N, n, Wl)
 
         rowsel = jnp.einsum(
             "bqth,bqhw->bqtw", wrow, vol, preferred_element_type=jnp.float32
-        )
+        ).astype(sel_dtype)
         patch = jnp.einsum(
             "bqtw,bqsw->bqts", rowsel, wcol, preferred_element_type=jnp.float32
         )  # (B, N, n, n): [t, s] = sample at (y + t - r, x + s - r)
