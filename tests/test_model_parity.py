@@ -237,3 +237,19 @@ def test_flownet2_parity():
     ref_out = oracle.nhwc(_run_ref(ref, x1, x2))
     out = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2))
     assert _max_err(out, ref_out) < 1e-3
+
+
+def test_flownet_c_larger_field_parity():
+    """models/FlowNetC_larger_field.py == FlowNetCFlex(k5, reps1) after
+    key renaming (convert_flownet_c_larger)."""
+    ref_mod = oracle.ref_module("FlowNetC_larger_field")
+    ref = ref_mod.FlowNetC_larger_field()
+    sd = oracle.state_dict_numpy(ref)
+
+    ours = FlowNetCFlex(kernel_size=5, number_of_reps=1)
+    variables = cv.convert_flownet_c_larger(sd)
+
+    x1, x2 = _imgs(64, 128)
+    ref_out = oracle.nhwc(_run_ref(ref, x1, x2))
+    out = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2))
+    assert _max_err(out, ref_out) < 1e-3

@@ -198,6 +198,25 @@ def convert_flownet_c_flex(sd: dict[str, np.ndarray]):
     return _apply_rules(sd, rules)
 
 
+def convert_flownet_c_larger(sd: dict[str, np.ndarray]):
+    """FlowNetC_larger_field (models/FlowNetC_larger_field.py:87-227):
+    identical topology to FlowNetCFlex(kernel_size=5, number_of_reps=1)
+    with flat stage names conv1/conv11/... — rename into the flex layout
+    and delegate."""
+    renamed = {}
+    stage_map = {
+        "conv1": "convs1.0", "conv11": "convs1.1",
+        "conv2": "convs2.0", "conv21": "convs2.1",
+        "conv3": "convs3.0", "conv31": "convs3.1",
+    }
+    for k, v in sd.items():
+        head = k.split(".", 1)
+        if head[0] in stage_map:
+            k = stage_map[head[0]] + "." + head[1]
+        renamed[k] = v
+    return convert_flownet_c_flex(renamed)
+
+
 def convert_flownet2(sd: dict[str, np.ndarray]):
     """FlowNet2 cascade: subnet-prefixed FlowNet-family keys."""
 
@@ -354,6 +373,7 @@ CONVERTERS = {
     "flownet_s": convert_flownet_s,
     "flownet_c": convert_flownet_c,
     "flownet_c_flex": convert_flownet_c_flex,
+    "flownet_c_larger": convert_flownet_c_larger,
     "flownet2": convert_flownet2,
     "pwcnet": convert_pwcnet,
     "raft": convert_raft,

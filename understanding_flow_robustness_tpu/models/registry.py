@@ -81,6 +81,12 @@ _SPECS: dict[str, ModelSpec] = {
         ),
         "larger_field_3x3_x0_l2.pth", "flownet_c_flex",
     ),
+    # training/get_model's --larger_field variant
+    # (models/FlowNetC_larger_field.py; not in the 12 attack-eval IDs)
+    "FlowNetC_larger_field": ModelSpec(
+        lambda **kw: FlowNetCFlex(kernel_size=5, number_of_reps=1, **kw),
+        None, "flownet_c_larger",
+    ),
     "SpyNet": ModelSpec(
         lambda **kw: SpyNet(nlevels=6, **kw), "spynet_models", None,
         size_multiple=32,
