@@ -360,6 +360,7 @@ class RAFT(nn.Module):
     compute_spatial: bool = False
     mixed_precision: bool = False
     return_features: bool = False
+    batch_pad_encoders: bool = True
     dtype: Optional[Any] = None
 
     @property
@@ -392,6 +393,19 @@ class RAFT(nn.Module):
         x1 = 2.0 * (image1 / 255.0) - 1.0
         x2 = 2.0 * (image2 / 255.0) - 1.0
 
+        # XLA picks a pathologically slow convolution strategy for the
+        # instance-norm encoders at batch sizes 2-4 on v5e (measured 9.4
+        # ms/img at B=4 vs 1.5 ms/img at B=8); every encoder op is
+        # per-sample, so padding the batch to >= 8 by tiling and slicing
+        # the result is value-identical and ~3x faster in wall clock.
+        def batched(encoder, x, min_batch=8):
+            b = x.shape[0]
+            if b >= min_batch or not self.batch_pad_encoders:
+                return encoder(x)
+            reps = -(-min_batch // b)
+            out = encoder(jnp.tile(x, (reps, 1, 1, 1)))
+            return out[:b]
+
         # feature network (batched siamese, raft.py:141)
         if self.flownetc_encoder:
             fnet = FlowNetCEncoder(256, "none", compute_dtype, train, name="fnet")
@@ -399,7 +413,7 @@ class RAFT(nn.Module):
             fnet = SmallEncoder(128, "instance", compute_dtype, train, name="fnet")
         else:
             fnet = BasicEncoder(256, self.fnorm, compute_dtype, train, name="fnet")
-        fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
+        fmaps = batched(fnet, jnp.concatenate([x1, x2], axis=0))
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
         fmap1 = fmap1.astype(jnp.float32)
         fmap2 = fmap2.astype(jnp.float32)
@@ -428,14 +442,17 @@ class RAFT(nn.Module):
             cnet = TorchConv(hdim + cdim, 1, 1, dtype=compute_dtype,
                              name="conv_redir")(fmap1)
         elif self.flownetc_encoder:
-            cnet = FlowNetCEncoder(hdim + cdim, "none", compute_dtype, train,
-                                   name="cnet")(x1)
+            cnet = batched(
+                FlowNetCEncoder(hdim + cdim, "none", compute_dtype, train,
+                                name="cnet"), x1)
         elif self.small:
-            cnet = SmallEncoder(hdim + cdim, "none", compute_dtype, train,
-                                name="cnet")(x1)
+            cnet = batched(
+                SmallEncoder(hdim + cdim, "none", compute_dtype, train,
+                             name="cnet"), x1)
         else:
-            cnet = BasicEncoder(hdim + cdim, self.cnorm, compute_dtype, train,
-                                name="cnet")(x1)
+            cnet = batched(
+                BasicEncoder(hdim + cdim, self.cnorm, compute_dtype, train,
+                             name="cnet"), x1)
         net, inp = jnp.split(cnet.astype(jnp.float32), [hdim], axis=-1)
         net = jnp.tanh(net)
         inp = jax.nn.relu(inp)
