@@ -360,7 +360,7 @@ class RAFT(nn.Module):
     compute_spatial: bool = False
     mixed_precision: bool = False
     return_features: bool = False
-    batch_pad_encoders: bool = True
+    batch_pad_encoders: bool = False
     dtype: Optional[Any] = None
 
     @property
@@ -433,6 +433,11 @@ class RAFT(nn.Module):
             feats["spatial_corr"] = sc
         else:
             corr0 = all_pairs_correlation(fmap1, fmap2)
+            if compute_dtype is not None:
+                # cast ONCE before the pyramid: the lookup runs 12x per
+                # forward and is HBM-bound on the volume; a per-iteration
+                # cast would re-materialize it every iteration
+                corr0 = corr0.astype(compute_dtype)
             pyramid = corr_pyramid(corr0, self.corr_levels)
         for i, lvl in enumerate(pyramid):
             feats[f"corr_pyramid_{i}"] = lvl

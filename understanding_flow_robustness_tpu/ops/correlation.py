@@ -278,7 +278,7 @@ def _corr_lookup_mxu(pyramid: list[Array], coords: Array, radius: int,
     for i, corr in enumerate(pyramid):
         Hl, Wl = corr.shape[2], corr.shape[3]
         vol = corr.reshape(B, N, Hl, Wl)
-        if compute_dtype is not None:
+        if compute_dtype is not None and vol.dtype != compute_dtype:
             vol = vol.astype(compute_dtype)
 
         c = coords.reshape(B, N, 2) / (2 ** i)
