@@ -2,6 +2,7 @@
 
 from .flownet2 import (
     FlowNet2,
+    FlowNet2CS,
     FlowNet2CSub,
     FlowNet2SSub,
     FlowNetFusion,
@@ -23,6 +24,7 @@ from .spynet import SpyNet
 __all__ = [
     "FlowModel",
     "FlowNet2",
+    "FlowNet2CS",
     "FlowNet2CSub",
     "FlowNet2SSub",
     "FlowNetC",

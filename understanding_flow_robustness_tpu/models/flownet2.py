@@ -300,6 +300,51 @@ class FlowNetS2(nn.Module):
         return out
 
 
+class FlowNet2CS(nn.Module):
+    """models/flownet2_models.py:419-497 — FlowNetC + one FlowNetS stage.
+
+    Input normalization: per-image RGB-mean subtraction across BOTH frames
+    (the cascade variants' rgb_mean convention at :459-475).
+    """
+
+    batch_norm: bool = False
+    div_flow: float = 20.0
+    stages: int = 1  # 1 = CS, 2 = CSS (flownet2_models.py:499-600)
+    return_features: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1: Array, x2: Array, train: bool = False):
+        stacked = jnp.stack([x1, x2], axis=1)  # (B, 2, H, W, 3)
+        rgb_mean = jnp.mean(stacked, axis=(1, 2, 3), keepdims=True)
+        x1 = x1 - rgb_mean[:, 0]
+        x2 = x2 - rgb_mean[:, 0]
+        x = jnp.concatenate([x1, x2], axis=-1)
+        img0, img1 = x1, x2
+        B, H, W, _ = x1.shape
+
+        def up4(f):
+            return resize_bilinear(f, H, W, align_corners=False)
+
+        flow2 = FlowNet2CSub(self.batch_norm, self.dtype, name="flownetc")(x)[0]
+        flow = up4(flow2 * self.div_flow)
+
+        for i in range(self.stages):
+            resampled1 = warp_backward(img1, flow, mode="border")
+            norm_diff0 = channel_norm(img0 - resampled1)
+            concat = jnp.concatenate(
+                [x, resampled1, flow / self.div_flow, norm_diff0], axis=-1
+            )
+            flow2 = FlowNet2SSub(
+                self.batch_norm, self.dtype, name=f"flownets_{i + 1}"
+            )(concat)[0]
+            flow = up4(flow2 * self.div_flow)
+
+        if self.return_features:
+            return flow, {}
+        return flow
+
+
 class FlowNet2(nn.Module):
     """models/flownet2_models.py:14-205 — the 5-net cascade.
 

@@ -280,12 +280,13 @@ def avg_pool2(x: Array) -> Array:
     (models/raft/corr.py:57-64) and SPyNet's image pyramid
     (models/spynet.py:216-229)."""
     B, H, W, C = x.shape
-    x = x[:, : H - H % 2, : W - W % 2, :]
-    out = lax.reduce_window(
-        x, 0.0 if x.dtype == jnp.float32 else jnp.zeros((), x.dtype),
-        lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+    h2, w2 = H // 2, W // 2
+    x = x[:, : 2 * h2, : 2 * w2, :].reshape(B, h2, 2, w2, 2, C)
+    # reshape-mean instead of reduce_window: differentiable for every dtype
+    # (reduce_window with a non-literal init has no VJP) and fuses cleanly
+    return (x.sum(axis=(2, 4)) * jnp.asarray(0.25, jnp.float32)).astype(
+        x.dtype
     )
-    return out * jnp.asarray(0.25, x.dtype)
 
 
 def compute_pad(height: int, width: int, mode: str = "sintel", multiple: int = 8):
