@@ -26,6 +26,8 @@ from .transforms import (
 )
 from .validation import (
     KittiPairDataset,
+    ValidationSet,
+    ValidationSetPair,
     ValidationFlowKitti2012,
     ValidationFlowKitti2015,
     ValidationSintel,
@@ -39,6 +41,6 @@ __all__ = [
     "RandomCrop", "RandomHorizontalFlip", "RandomScaleCrop", "Scale",
     "SequenceFolder", "SparseFlowAugmentor", "ToFloat", "ToFloat01",
     "ValidationFlowKitti2012", "ValidationFlowKitti2015",
-    "ValidationSintel", "crawl_folders", "fetch_dataset",
+    "ValidationSet", "ValidationSetPair", "ValidationSintel", "crawl_folders", "fetch_dataset",
     "get_evaluation_set", "imresize", "pad_batch",
 ]

@@ -249,3 +249,53 @@ def get_evaluation_set(valset: str, args):
             dstype=getattr(args, "sintel_type", "clean"),
         )
     raise ValueError(f"unknown valset {valset}")
+
+
+def _crawl_img_npy(scenes):
+    imgs, gts = [], []
+    for scene in scenes:
+        simgs = sorted(glob(os.path.join(scene, "*.jpg")))
+        for im in simgs:
+            gt = im[:-4] + ".npy"
+            if os.path.exists(gt):
+                imgs.append(im)
+                gts.append(gt)
+    return imgs, gts
+
+
+class ValidationSet:
+    """Prepared-KITTI scenes with per-frame .npy GT
+    (dataset_utils/validation_folders.py:47-84)."""
+
+    def __init__(self, root, transform=None):
+        with open(os.path.join(root, "val.txt"), encoding="utf-8") as f:
+            scenes = [os.path.join(root, l.strip()) for l in f if l.strip()]
+        self.imgs, self.gts = _crawl_img_npy(scenes)
+        self.transform = transform
+
+    def __getitem__(self, index):
+        img = _load_float(self.imgs[index])
+        gt = np.load(self.gts[index]).astype(np.float32)
+        if self.transform is not None:
+            img = self.transform([img])[0]
+        return img, gt
+
+    def __len__(self):
+        return len(self.imgs)
+
+
+class ValidationSetPair(ValidationSet):
+    """Consecutive-frame pairs from the same layout
+    (dataset_utils/validation_folders.py:86-121)."""
+
+    def __getitem__(self, index):
+        index = min(index, len(self.imgs) - 2)
+        img1 = _load_float(self.imgs[index])
+        img2 = _load_float(self.imgs[index + 1])
+        gt = np.load(self.gts[index]).astype(np.float32)
+        if self.transform is not None:
+            img1, img2 = self.transform([img1, img2])
+        return img1, img2, gt
+
+    def __len__(self):
+        return max(len(self.imgs) - 1, 0)
