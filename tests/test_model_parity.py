@@ -253,3 +253,65 @@ def test_flownet_c_larger_field_parity():
     ref_out = oracle.nhwc(_run_ref(ref, x1, x2))
     out = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2))
     assert _max_err(out, ref_out) < 1e-3
+
+
+def test_raft_small_runs():
+    """args.small branch: the REFERENCE crashes here (SmallUpdateBlock
+    returns 3 values but raft.py:196 unpacks 7 — an upstream bug), so no
+    parity oracle exists; check that our small RAFT loads converted small
+    weights and produces finite flow."""
+    from argparse import Namespace
+
+    args = Namespace(
+        small=True, mixed_precision=False, alternate_corr=False,
+        fnorm="instance", cnorm="batch", no_separate_context=False,
+        corr_levels=4, iters=2, flowNetCEnc=False, dropout=0,
+        compute_spatial=False, corr_radius=3,
+        update_no_motion_downsampling=False,
+    )
+    raft_mod = oracle.ref_module("raft.raft")
+    ref = raft_mod.RAFT(args)
+    sd = oracle.state_dict_numpy(ref)
+
+    ours = RAFT(small=True, iters=2, mixed_precision=False)
+    variables = cv.convert_raft(sd)
+
+    x1, x2 = _imgs(128, 128)
+    flow_low, flow_up = ours.apply(
+        variables, jnp.asarray(x1 * 255), jnp.asarray(x2 * 255),
+        test_mode=True,
+    )
+    assert flow_up.shape == (1, 128, 128, 2)
+    assert np.isfinite(np.asarray(flow_up)).all()
+
+
+def test_raft_spatial_corr_parity():
+    """compute_spatial mode (models/raft/corr.py:33-54): 21x21/dil-2
+    spatial correlation pyramid, nearest-upsampled lookup."""
+    from argparse import Namespace
+
+    args = Namespace(
+        small=False, mixed_precision=False, alternate_corr=False,
+        fnorm="instance", cnorm="batch", no_separate_context=False,
+        corr_levels=4, iters=2, flowNetCEnc=False, dropout=0,
+        compute_spatial=True, corr_radius=4,
+        update_no_motion_downsampling=False,
+    )
+    raft_mod = oracle.ref_module("raft.raft")
+    ref = raft_mod.RAFT(args)
+    sd = oracle.state_dict_numpy(ref)
+
+    ours = RAFT(iters=2, mixed_precision=False, compute_spatial=True)
+    variables = cv.convert_raft(sd)
+
+    x1, x2 = _imgs(128, 128)
+    ref.eval()
+    with torch.no_grad():
+        _, flow_up_ref = ref(
+            oracle.nchw(x1 * 255), oracle.nchw(x2 * 255), test_mode=True
+        )
+    _, flow_up = ours.apply(
+        variables, jnp.asarray(x1 * 255), jnp.asarray(x2 * 255),
+        test_mode=True,
+    )
+    assert _max_err(flow_up, oracle.nhwc(flow_up_ref)) < 1e-3

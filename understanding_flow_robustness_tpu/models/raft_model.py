@@ -424,13 +424,15 @@ class RAFT(nn.Module):
         if self.compute_spatial:
             # CorrBlock(compute_spatial=True) (corr.py:33-54): 21x21/dil-2
             # spatial corr, channels become the batch of pyramid "images".
+            # the pyramid uses the RAW (unnormalized) spatial correlation;
+            # only the visualization copy divides by C (corr.py:42-50)
             sc = spatial_correlation(
                 fmap1, fmap2, patch_size=21, dilation_patch=2
-            ) / fmap1.shape[-1]
+            )
             B, h, w, P = sc.shape
             corr0 = sc.transpose(0, 3, 1, 2)  # (B, 441, h, w)
             pyramid = corr_pyramid(corr0, self.corr_levels)
-            feats["spatial_corr"] = sc
+            feats["spatial_corr"] = sc / fmap1.shape[-1]
         else:
             corr0 = all_pairs_correlation(fmap1, fmap2)
             if compute_dtype is not None:
@@ -541,7 +543,11 @@ class RAFT(nn.Module):
 
 def _spatial_corr_lookup(pyramid: list[Array], coords: Array) -> Array:
     """Spatial-corr mode lookup (corr.py:85-94): no sampling, each level is
-    nearest-upsampled back to full lookup resolution and concatenated."""
+    nearest-upsampled back to full lookup resolution and then C-order
+    RESHAPED (not transposed) to (B, H1, W1, -1) — the reference's
+    ``corr.view(batch, h1, w1, -1)`` on a (B*441, 1, h, w) tensor
+    reinterprets memory, interleaving window channels with spatial
+    positions; models trained in this mode expect exactly that layout."""
     B, N, h0, w0 = pyramid[0].shape
     H1, W1 = coords.shape[1], coords.shape[2]
     out = []
@@ -549,6 +555,5 @@ def _spatial_corr_lookup(pyramid: list[Array], coords: Array) -> Array:
         x = corr  # (B, 441, h, w)
         for _ in range(i):
             x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
-        x = x[:, :, :H1, :W1]
-        out.append(x.transpose(0, 2, 3, 1))
+        out.append(x.reshape(B, H1, W1, -1))
     return jnp.concatenate(out, axis=-1)
