@@ -41,6 +41,9 @@ class RunConfig:
     save_npy: bool = False
     universal_perturbation_path: Optional[str] = None
     arbitrary_gt: Optional[np.ndarray] = None   # fixed target for all pairs
+    # fixed noise pair re-applied to every sample (the reference's
+    # arbitrary_noise_index branch, perturb_main.py:385-448): (2, H, W, 3)
+    arbitrary_noise: Optional[np.ndarray] = None
 
 
 def build_arbitrary_gt(kind: str, helper_gt: np.ndarray,
@@ -132,7 +135,13 @@ def run(
             if cfg.arbitrary_gt is not None else jnp.asarray(gt_small)
         )
 
-        if universal is not None:
+        if cfg.arbitrary_noise is not None:
+            n0 = jnp.asarray(cfg.arbitrary_noise[0][None])
+            n1 = jnp.asarray(cfg.arbitrary_noise[1][None])
+            adv0 = jnp.clip(img0 + n0, 0.0, 1.0)
+            adv1 = jnp.clip(img1 + n1, 0.0, 1.0)
+            noise0, noise1 = adv0 - img0, adv1 - img1
+        elif universal is not None:
             # re-apply a pre-trained universal perturbation
             # (perturb_main.py:450-464)
             n0 = jnp.asarray(universal[:, 0])

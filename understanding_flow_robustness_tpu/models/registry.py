@@ -248,3 +248,22 @@ def _unflatten(flat):
             node = node.setdefault(p, {})
         node[path[-1]] = v
     return tree
+
+
+def get_feature_map_keys(name: str) -> list[str]:
+    """Capture-key sets per model family (models/utils_model.py:429-436 +
+    get_feature_map_keys :282-426): the names the ``return_features`` dicts
+    expose and ``overrides`` accepts."""
+    if name.startswith("RAFT"):
+        keys = ["fmap1", "fmap2"] + [f"corr_pyramid_{i}" for i in range(4)]
+        keys += ["net", "inp"]
+        for i in range(12):
+            keys += [f"idx_corr_vol_{i}", f"net_{i}", f"motion_features_{i}",
+                     f"cor1_{i}", f"cor_{i}", f"cor_flo_{i}", f"flow_pred_{i}"]
+        return keys
+    if "FlowNetC" in name or name in ("FlowNetCFlexLarger_k3_reps3",):
+        return ["conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b",
+                "corr", "conv_redir", "conv3_1"]
+    if name.startswith("PWC"):
+        return [f"corr{l}" for l in (6, 5, 4, 3, 2)]
+    return []
