@@ -26,7 +26,7 @@ import numpy as np
 # PyTorch-GPU reference throughput estimate for RAFT-12 @ 384x1280, pairs/s.
 PYTORCH_GPU_RAFT_BASELINE = 10.0
 
-BATCH = 4
+BATCH = 8
 H, W = 384, 1280
 WARMUP = 3
 ITERS = 20
