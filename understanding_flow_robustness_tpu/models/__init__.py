@@ -4,6 +4,7 @@ from .flownet2 import (
     FlowNet2,
     FlowNet2CS,
     FlowNet2CSub,
+    FlowNet2Single,
     FlowNet2SSub,
     FlowNetFusion,
     FlowNetS2,
@@ -26,6 +27,7 @@ __all__ = [
     "FlowNet2",
     "FlowNet2CS",
     "FlowNet2CSub",
+    "FlowNet2Single",
     "FlowNet2SSub",
     "FlowNetC",
     "FlowNetCFlex",

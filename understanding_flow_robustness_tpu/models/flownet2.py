@@ -300,6 +300,45 @@ class FlowNetS2(nn.Module):
         return out
 
 
+class FlowNet2Single(nn.Module):
+    """Single-subnet cascade variants (models/flownet2_models.py:208-417):
+    FlowNet2C / FlowNet2S / FlowNet2SD with per-image rgb-mean input
+    normalization and x4-bilinear-upsampled flow2 * div_flow output."""
+
+    subnet: str = "C"  # C | S | SD
+    batch_norm: bool = False
+    div_flow: float = 20.0
+    return_features: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1: Array, x2: Array, train: bool = False):
+        stacked = jnp.stack([x1, x2], axis=1)
+        rgb_mean = jnp.mean(stacked, axis=(1, 2, 3), keepdims=True)
+        x1 = x1 - rgb_mean[:, 0]
+        x2 = x2 - rgb_mean[:, 0]
+        x = jnp.concatenate([x1, x2], axis=-1)
+        if self.subnet == "C":
+            net = FlowNet2CSub(self.batch_norm, self.dtype, name="flownetc")
+        elif self.subnet == "S":
+            net = FlowNet2SSub(self.batch_norm, self.dtype, name="flownets")
+        elif self.subnet == "SD":
+            net = FlowNetSD(self.batch_norm, self.dtype, name="flownets_d")
+        else:
+            raise ValueError(self.subnet)
+        flows = net(x, train=train)
+        if train:
+            return flows
+        flow2 = flows[0]
+        B, H, W, _ = flow2.shape
+        out = resize_bilinear(
+            flow2 * self.div_flow, 4 * H, 4 * W, align_corners=False
+        )
+        if self.return_features:
+            return out, {}
+        return out
+
+
 class FlowNet2CS(nn.Module):
     """models/flownet2_models.py:419-497 — FlowNetC + one FlowNetS stage.
 
