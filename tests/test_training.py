@@ -68,7 +68,7 @@ def test_onecycle_matches_torch():
     for step in range(steps - 1):
         ref_lr = ref.get_last_lr()[0]
         ours = float(sched(step))
-        assert abs(ours - ref_lr) / max(ref_lr, 1e-9) < 0.08, (
+        assert abs(ours - ref_lr) / max(ref_lr, 1e-9) < 1e-5, (
             step, ours, ref_lr
         )
         opt.step()

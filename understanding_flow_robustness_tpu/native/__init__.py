@@ -6,8 +6,10 @@ point has a numpy fallback so the framework works without a toolchain.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 
 import numpy as np
 
@@ -18,18 +20,42 @@ _SRC = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native", "ufr_native.cpp",
 )
-_SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_ufr_native.so")
 
 
-def _build() -> bool:
+def _so_path() -> str:
+    """Cache path keyed by a hash of the source, so edits to ufr_native.cpp
+    trigger a rebuild and binaries from other hosts/CPUs are never reused
+    under a changed source."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get(
+        "UFR_NATIVE_CACHE",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "ufr_native",
+        ),
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"_ufr_native_{digest}.so")
+
+
+def _build(so: str) -> bool:
+    # Portable codegen (no -march=native): the cached .so may outlive the
+    # host it was built on.
     try:
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(so))
+        os.close(fd)
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-             _SRC, "-o", _SO],
+            ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, so)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -39,11 +65,14 @@ def load():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO) and os.path.exists(_SRC):
-        _build()
-    if not os.path.exists(_SO):
+    if not os.path.exists(_SRC):
         return None
-    lib = ctypes.CDLL(_SO)
+    so = _so_path()
+    if not os.path.exists(so):
+        _build(so)
+    if not os.path.exists(so):
+        return None
+    lib = ctypes.CDLL(so)
     i64 = ctypes.c_int64
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")

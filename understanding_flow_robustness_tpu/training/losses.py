@@ -35,6 +35,24 @@ def _masked_mean(x: Array, keep: Array) -> Array:
     return jnp.sum(x * keep) / jnp.maximum(jnp.sum(keep), 1.0)
 
 
+def _nanmean(x: Array) -> Array:
+    """Mean over non-NaN elements (torch ``x[~isnan(x)].mean()``,
+    utils.py:119-126/204-210); 0 when every element is NaN."""
+    m = jnp.logical_not(jnp.isnan(x))
+    return jnp.sum(jnp.where(m, x, 0.0)) / jnp.maximum(
+        jnp.sum(m.astype(x.dtype)), 1.0
+    )
+
+
+def _keep_mask(flow_gt: Array, valid: Array, max_flow: float) -> Array:
+    """valid & |gt|<max_flow.  ``not_excluding`` in the reference is a dead
+    no-op — it re-applies ``>= 0.5`` to the already-combined boolean mask
+    (utils.py:88-91, 173-176) — so it is accepted but has no effect here
+    either, for strict parity."""
+    mag = jnp.sqrt(jnp.sum(flow_gt ** 2, axis=-1))
+    return (valid >= 0.5) & (mag < max_flow)
+
+
 def sequence_loss(
     flow_preds: list[Array],
     flow_gt: Array,
@@ -52,10 +70,7 @@ def sequence_loss(
     if div_flow > 1:
         flow_gt = flow_gt / div_flow
 
-    mag = jnp.sqrt(jnp.sum(flow_gt ** 2, axis=-1))
-    keep = valid >= 0.5
-    if not not_excluding:
-        keep = keep & (mag < max_flow)
+    keep = _keep_mask(flow_gt, valid, max_flow)
 
     loss = 0.0
     classic_w = [0.005, 0.01, 0.02, 0.08, 0.32]
@@ -67,9 +82,16 @@ def sequence_loss(
             )
             gt_s = _area_resize(flow_gt, h, w) * scale
             i_loss = jnp.abs(pred - gt_s)
-            i_loss = jnp.where(jnp.isnan(i_loss), 0.0, i_loss)
-            weight = classic_w[i] if flownetc_weighing else gamma ** i
-            loss = loss + weight * jnp.mean(i_loss)
+            # The reference's weight ternary here checks flowNetC ALONE
+            # (utils.py:186-189): PWC without flownetc gets the RAFT-style
+            # gamma^(n-1-i), even though it takes the scaled-GT branch.
+            if flownetc_weighing:
+                weight = classic_w[i]
+            elif flownetc:
+                weight = gamma ** i
+            else:
+                weight = gamma ** (n - i - 1)
+            loss = loss + weight * _nanmean(i_loss)
         else:
             i_loss = jnp.abs(pred - flow_gt)
             weight = gamma ** (n - i - 1)
@@ -119,10 +141,7 @@ def multiscale_epe(
     if div_flow > 1:
         flow_gt = flow_gt / div_flow
 
-    mag = jnp.sqrt(jnp.sum(flow_gt ** 2, axis=-1))
-    keep = valid >= 0.5
-    if not not_excluding:
-        keep = keep & (mag < max_flow)
+    keep = _keep_mask(flow_gt, valid, max_flow)
 
     loss = 0.0
     classic_w = [0.005, 0.01, 0.02, 0.08, 0.32]
@@ -134,9 +153,10 @@ def multiscale_epe(
             )
             gt_s = _area_resize(flow_gt, h, w) * scale
             epe_map = jnp.sqrt(jnp.sum((pred - gt_s) ** 2, axis=-1) + eps)
-            epe_map = jnp.where(jnp.isnan(epe_map), 0.0, epe_map)
+            # Unlike sequence_loss, the reference ternary here checks
+            # ``flowNetC or pwc`` (utils.py:103-105): gamma^i for both.
             weight = classic_w[i] if flownetc_weighing else gamma ** i
-            loss = loss + weight * jnp.mean(epe_map)
+            loss = loss + weight * _nanmean(epe_map)
         else:
             i_loss = jnp.abs(pred - flow_gt)
             weight = gamma ** (n - i - 1)
@@ -148,7 +168,9 @@ def multiscale_epe(
         h, w = flow_preds[0].shape[1:3]
         gt_s = _area_resize(flow_gt, h, w)
         epe = jnp.sqrt(jnp.sum((flow_preds[0] - gt_s) ** 2, axis=-1))
-        epe_mask = jnp.ones_like(epe, bool)
+        # utils.py:96-97: the multiscale epe metric drops NaNs.
+        epe_mask = jnp.logical_not(jnp.isnan(epe))
+        epe = jnp.where(epe_mask, epe, 0.0)
     else:
         epe = jnp.sqrt(jnp.sum((flow_preds[-1] - flow_gt) ** 2, axis=-1))
         epe_mask = keep

@@ -26,11 +26,19 @@ def onecycle_linear(
     warm = max(float(pct_start * total_steps) - 1, 1.0)
     down_len = max(total_steps - 1 - warm, 1.0)
 
+    end = warm + down_len
+
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        up = initial + (max_lr - initial) * jnp.minimum(step / warm, 1.0)
-        frac_down = jnp.clip((step - warm) / down_len, 0.0, 1.0)
-        down = max_lr + (final - max_lr) * frac_down
+        # Two-sided lerp with both distances computed directly from the
+        # step counter (exact in f32 for integer steps): avoids the
+        # a+(b-a)*t and 1-t cancellations, which otherwise dominate near
+        # the end where final ≪ max_lr.
+        t_up = jnp.minimum(step / warm, 1.0)
+        up = initial * (1.0 - t_up) + max_lr * t_up
+        d_left = jnp.clip(end - step, 0.0, down_len)
+        d_done = jnp.clip(step - warm, 0.0, down_len)
+        down = (max_lr * d_left + final * d_done) / down_len
         return jnp.where(step < warm, up, down)
 
     return schedule

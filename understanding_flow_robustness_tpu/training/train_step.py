@@ -78,14 +78,16 @@ def make_train_step(
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, batch_stats, batch)
-        # NaN guard (training/train.py:270-272): skip the update entirely
-        # when the loss is not finite.
-        finite = jnp.isfinite(loss)
-        grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
-        )
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        # NaN guard (training/train.py:270-272): skip the update entirely
+        # when the loss is not finite — params AND optimizer state (incl.
+        # step count / momentum / decoupled weight decay) keep their old
+        # values, exactly like the reference's `continue`.
+        finite = jnp.isfinite(loss)
+        pick = lambda new, old: jnp.where(finite, new, old)  # noqa: E731
+        new_params = jax.tree_util.tree_map(pick, new_params, params)
+        new_opt_state = jax.tree_util.tree_map(pick, new_opt_state, opt_state)
         metrics = dict(metrics, loss=loss)
         return new_params, new_opt_state, new_stats, metrics
 
