@@ -127,6 +127,110 @@ def ref_module(name: str):
     return importlib.import_module(f"refmodels.{name}")
 
 
+_installed_abs = False
+
+
+def install_reference_abs():
+    """Make the reference repo importable ABSOLUTELY (``global_attacks.*``,
+    ``patch_attacks.*``, ``models.*``) so its attack/driver code can run as
+    a CPU oracle.  Third-party packages missing from this image
+    (imagecorruptions, skimage, path) are stubbed with minimal equivalents;
+    the reference's CUDA extension packages get the same pure-torch stand-ins
+    as install_reference()."""
+    global _installed_abs
+    if _installed_abs:
+        return
+    install_reference()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+    corruption_names = [
+        "gaussian_noise", "shot_noise", "impulse_noise", "defocus_blur",
+        "glass_blur", "motion_blur", "zoom_blur", "snow", "frost", "fog",
+        "brightness", "contrast", "elastic_transform", "pixelate",
+        "jpeg_compression",
+    ]
+
+    def _corrupt(image, corruption_name=None, severity=1):
+        raise NotImplementedError(
+            "imagecorruptions stub: corruption oracle not available"
+        )
+
+    _stub_module(
+        "imagecorruptions",
+        get_corruption_names=lambda subset="common": list(corruption_names),
+        corrupt=_corrupt,
+    )
+
+    def random_noise(image, mode="gaussian", var=0.01, **kw):
+        noise = np.random.normal(0.0, var ** 0.5, image.shape)
+        return np.clip(image + noise, 0.0, 1.0)
+
+    skimage = _stub_module("skimage")
+    skimage.util = _stub_module("skimage.util", random_noise=random_noise)
+
+    import pathlib
+
+    _stub_module("path", Path=pathlib.Path)
+    _stub_module(
+        "pkg_resources",
+        resource_filename=lambda pkg, name: name,
+    )
+    _stub_module("png")  # pypng, used only for 16-bit KITTI PNG I/O
+    # torchvision: only ToTensor / transforms are touched at import time
+    tv = _stub_module("torchvision")
+    tv.transforms = _stub_module(
+        "torchvision.transforms", ToTensor=object, Compose=object,
+        ColorJitter=object,
+    )
+
+    class _Bar:
+        def __init__(self, *a, **kw):
+            pass
+
+        def __call__(self, *a, **kw):
+            return self
+
+        def __getattr__(self, name):
+            return _Bar()
+
+    _stub_module(
+        "progressbar", ProgressBar=_Bar, Bar=_Bar, ETA=_Bar, Timer=_Bar,
+        Percentage=_Bar, widgets=_stub_module("progressbar.widgets"),
+    )
+
+    class _Terminal:
+        def __getattr__(self, name):
+            if name in ("height", "width"):
+                return 80
+            return lambda *a, **kw: ""
+
+        def location(self, *a, **kw):
+            import contextlib
+
+            return contextlib.nullcontext()
+
+    _stub_module("blessings", Terminal=_Terminal)
+
+    # models/__init__.py imports .PWCNetFlex, which does not exist in the
+    # reference repo (broken upstream) — stub it so `import models` works.
+    _stub_module(
+        "models.PWCNetFlex",
+        PWCDCNetFlex=object,
+        pwc_dc_net_flex=lambda *a, **kw: None,
+    )
+    # Absolute-name CUDA extension stand-ins for `import models`
+    _stub_module("models.resample2d_package")
+    _stub_module(
+        "models.resample2d_package.resample2d", Resample2d=TorchResample2d
+    )
+    _stub_module("models.channelnorm_package")
+    _stub_module(
+        "models.channelnorm_package.channelnorm", ChannelNorm=TorchChannelNorm
+    )
+    _installed_abs = True
+
+
 def state_dict_numpy(model: torch.nn.Module) -> dict[str, np.ndarray]:
     return {
         k: v.detach().cpu().numpy()

@@ -38,6 +38,7 @@ __all__ = [
 
 from .patch import (  # noqa: E402
     circle_transform,
+    circle_transform_different,
     create_circular_mask,
     create_correlated_patch,
     create_random_patch,
@@ -63,6 +64,7 @@ __all__ += [
     "PatchAttackConfig",
     "UniversalConfig",
     "circle_transform",
+    "circle_transform_different",
     "create_circular_mask",
     "create_correlated_patch",
     "create_random_patch",

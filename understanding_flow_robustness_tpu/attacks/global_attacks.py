@@ -49,6 +49,9 @@ class PerturbConfig:
     momentum: float = MOMENTUM
     targeted: bool = False
     flow_loss: str = "cossim"
+    # perturb_model.py:759-821 / global_constants.py:32 — probability of
+    # applying the random resize-pad input diversification per step.
+    probability_diverse_input: float = 0.0
 
 
 PredictFn = Callable[[Array, Array], Array]  # (img0, img1 in [0,1]) -> flow
@@ -74,6 +77,84 @@ def _loss_fn(predict: PredictFn, cfg: PerturbConfig):
     return loss
 
 
+def _resize_into_canvas(x: Array, nh, nw, top, left, mode: str) -> Array:
+    """Resize (B,H,W,C) ``x`` to a traced (nh, nw) size and zero-pad it at
+    (top, left) inside the original HxW canvas — the static-shape form of
+    torch ``interpolate(size=(nh, nw)) + pad`` in perturb_model.py:783-820.
+    Sizes/offsets are data (int32 scalars), not shapes, so this jits."""
+    B, H, W, C = x.shape
+    nh = jnp.asarray(nh, jnp.float32)
+    nw = jnp.asarray(nw, jnp.float32)
+    iy = (jnp.arange(H, dtype=jnp.float32) - jnp.asarray(top, jnp.float32))
+    ix = (jnp.arange(W, dtype=jnp.float32) - jnp.asarray(left, jnp.float32))
+    inside = (
+        (iy[:, None] >= 0) & (iy[:, None] < nh)
+        & (ix[None, :] >= 0) & (ix[None, :] < nw)
+    )
+    if mode == "bilinear":
+        # torch area_pixel_compute_source_index (align_corners=False):
+        # src = scale*(dst+0.5)-0.5, clamped below at 0.
+        sy = jnp.maximum((iy + 0.5) * (H / nh) - 0.5, 0.0)
+        sx = jnp.maximum((ix + 0.5) * (W / nw) - 0.5, 0.0)
+        y0 = jnp.clip(jnp.floor(sy), 0, H - 1).astype(jnp.int32)
+        x0 = jnp.clip(jnp.floor(sx), 0, W - 1).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, H - 1)
+        x1 = jnp.minimum(x0 + 1, W - 1)
+        ly = (sy - y0.astype(jnp.float32))[:, None, None]
+        lx = (sx - x0.astype(jnp.float32))[None, :, None]
+        v00 = x[:, y0[:, None], x0[None, :], :]
+        v01 = x[:, y0[:, None], x1[None, :], :]
+        v10 = x[:, y1[:, None], x0[None, :], :]
+        v11 = x[:, y1[:, None], x1[None, :], :]
+        out = (
+            (1 - ly) * ((1 - lx) * v00 + lx * v01)
+            + ly * ((1 - lx) * v10 + lx * v11)
+        )
+    elif mode == "nearest":
+        # torch upsample_nearest2d: src = floor(dst * in/out), capped.
+        y0 = jnp.minimum(jnp.floor(iy * (H / nh)), H - 1).astype(jnp.int32)
+        x0 = jnp.minimum(jnp.floor(ix * (W / nw)), W - 1).astype(jnp.int32)
+        y0 = jnp.maximum(y0, 0)
+        x0 = jnp.maximum(x0, 0)
+        out = x[:, y0[:, None], x0[None, :], :]
+    else:
+        raise ValueError(mode)
+    return jnp.where(inside[None, :, :, None], out, 0.0)
+
+
+def apply_diverse_input(image0, image1, ground_truth, nh, nw, top, left):
+    """The deterministic core of ``__diverse_input``
+    (perturb_model.py:759-821): bilinear-resize the images and
+    nearest-resize the GT to (nh, nw), zero-pad into the original canvas at
+    (top, left), and scale the whole GT (valid channel included, as the
+    reference does) by nw/W."""
+    W = image0.shape[2]
+    img0 = _resize_into_canvas(image0, nh, nw, top, left, "bilinear")
+    img1 = _resize_into_canvas(image1, nh, nw, top, left, "bilinear")
+    gt = _resize_into_canvas(ground_truth, nh, nw, top, left, "nearest")
+    gt = gt * (jnp.asarray(nw, gt.dtype) / W)
+    return img0, img1, gt
+
+
+def diverse_input(image0, image1, ground_truth, key, probability: float):
+    """Random resize-pad input diversification (perturb_model.py:759-821):
+    with probability p pick nh in [H-H/10, H], nw in [W-W/10, W], a random
+    top/left pad, and apply :func:`apply_diverse_input`; otherwise pass
+    through unchanged."""
+    H, W = image0.shape[1:3]
+    k_p, k_nh, k_nw, k_top, k_left = jax.random.split(key, 5)
+    nh = jax.random.randint(k_nh, (), int(H - H / 10.0), H + 1)
+    nw = jax.random.randint(k_nw, (), int(W - W / 10.0), W + 1)
+    top = jax.random.randint(k_top, (), 0, H - nh + 1)
+    left = jax.random.randint(k_left, (), 0, W - nw + 1)
+    d0, d1, dgt = apply_diverse_input(
+        image0, image1, ground_truth, nh, nw, top, left
+    )
+    apply = jax.random.uniform(k_p, ()) <= probability
+    pick = lambda a, b: jnp.where(apply, a, b)  # noqa: E731
+    return pick(d0, image0), pick(d1, image1), pick(dgt, ground_truth)
+
+
 def perturb(
     predict: PredictFn,
     image0: Array,
@@ -89,9 +170,9 @@ def perturb(
     if method in ("fgsm", "fgm"):
         noise0, noise1 = fgsm(predict, image0, image1, ground_truth, cfg)
     elif method in ("ifgsm", "ifgm"):
-        noise0, noise1 = ifgsm(predict, image0, image1, ground_truth, cfg)
+        noise0, noise1 = ifgsm(predict, image0, image1, ground_truth, cfg, rng)
     elif method in ("mifgsm", "mifgm"):
-        noise0, noise1 = mifgsm(predict, image0, image1, ground_truth, cfg)
+        noise0, noise1 = mifgsm(predict, image0, image1, ground_truth, cfg, rng)
     elif method == "gaussian":
         noise0, noise1 = gaussian_noise(image0, image1, cfg, rng)
     elif method == "uniform":
@@ -107,29 +188,59 @@ def perturb(
     return adv0 - image0, adv1 - image1, adv0, adv1
 
 
+def _make_grad_fn(predict: PredictFn, cfg: PerturbConfig,
+                  rng: Array | None):
+    """Per-step gradient of the attack loss w.r.t. the (pre-diversification)
+    images.  The diverse-input transform sits INSIDE the differentiated
+    function, exactly like the reference's autograd graph
+    (perturb_model.py:507-521)."""
+    loss = _loss_fn(predict, cfg)
+    p = cfg.probability_diverse_input
+    if p <= 0.0 or rng is None:
+        grad01 = jax.grad(
+            lambda a, b, gt: loss(a, b, gt), argnums=(0, 1)
+        )
+        return lambda i, a, b, gt: grad01(a, b, gt)
+
+    def step_loss(a, b, gt, i):
+        key = jax.random.fold_in(rng, i)
+        d0, d1, dgt = diverse_input(a, b, gt, key, p)
+        return loss(d0, d1, dgt)
+
+    grad01 = jax.grad(step_loss, argnums=(0, 1))
+    return lambda i, a, b, gt: grad01(a, b, gt, i)
+
+
 def fgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig):
-    """One-step fast gradient (sign) method (perturb_model.py:423-473)."""
+    """One-step fast gradient sign method (perturb_model.py:423-473).
+
+    NOTE: the reference routes BOTH "fgsm" and "fgm" here and always takes
+    the gradient sign — one-step fgm has no non-sign branch upstream (only
+    ifgm does, :529-539).  Verified against the executed reference in
+    tests/test_attack_parity.py."""
     m0, m1 = _mode_mask(cfg.perturb_mode)
     loss = _loss_fn(predict, cfg)
     g0, g1 = jax.grad(loss, argnums=(0, 1))(image0, image1, ground_truth)
-    step0 = jnp.sign(g0) if cfg.perturb_method == "fgsm" else g0
-    step1 = jnp.sign(g1) if cfg.perturb_method == "fgsm" else g1
-    return cfg.output_norm * step0 * m0, cfg.output_norm * step1 * m1
+    return (
+        cfg.output_norm * jnp.sign(g0) * m0,
+        cfg.output_norm * jnp.sign(g1) * m1,
+    )
 
 
-def ifgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig):
+def ifgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig,
+          rng: Array | None = None):
     """n-step iterative FGSM/FGM as a lax.fori_loop
-    (perturb_model.py:475-619): per step, ascend, clamp the image to
-    [0, 1], clamp the accumulated noise to the eps-ball, re-apply."""
+    (perturb_model.py:475-619): per step, optionally diversify the input,
+    ascend, clamp the image to [0, 1], clamp the accumulated noise to the
+    eps-ball, re-apply."""
     m0, m1 = _mode_mask(cfg.perturb_mode)
-    loss = _loss_fn(predict, cfg)
-    grad_fn = jax.grad(loss, argnums=(0, 1))
+    grad_fn = _make_grad_fn(predict, cfg, rng)
     eps = cfg.output_norm
     use_sign = "ifgsm" in cfg.perturb_method
 
-    def body(_, carry):
+    def body(i, carry):
         out0, out1 = carry
-        g0, g1 = grad_fn(out0, out1, ground_truth)
+        g0, g1 = grad_fn(i, out0, out1, ground_truth)
         if use_sign:
             g0, g1 = jnp.sign(g0), jnp.sign(g1)
         out0 = jnp.clip(out0 + cfg.learning_rate * g0 * m0, 0.0, 1.0)
@@ -142,18 +253,18 @@ def ifgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig):
     return out0 - image0, out1 - image1
 
 
-def mifgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig):
+def mifgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig,
+           rng: Array | None = None):
     """Momentum I-FGSM (perturb_model.py:621-757): L1-normalized gradients
     accumulated with momentum mu (default 0.47), sign steps."""
     m0, m1 = _mode_mask(cfg.perturb_mode)
-    loss = _loss_fn(predict, cfg)
-    grad_fn = jax.grad(loss, argnums=(0, 1))
+    grad_fn = _make_grad_fn(predict, cfg, rng)
     eps = cfg.output_norm
     mu = cfg.momentum
 
-    def body(_, carry):
+    def body(i, carry):
         out0, out1, acc0, acc1 = carry
-        g0, g1 = grad_fn(out0, out1, ground_truth)
+        g0, g1 = grad_fn(i, out0, out1, ground_truth)
         acc0 = mu * acc0 + (1.0 - mu) * g0 / jnp.sum(jnp.abs(g0))
         acc1 = mu * acc1 + (1.0 - mu) * g1 / jnp.sum(jnp.abs(g1))
         out0 = jnp.clip(out0 + cfg.learning_rate * jnp.sign(acc0) * m0, 0.0, 1.0)

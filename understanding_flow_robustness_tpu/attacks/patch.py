@@ -287,6 +287,151 @@ def circle_transform_two_patches(patches, mask, patch_inits, data_shape,
     return canvases[0], canvases[1], xm, inits[0], inits[1], rx, ry, patch_shape
 
 
+def circle_transform_different(patch, mask, patch_init, data_shape,
+                               patch_shape, margin=0, center=False,
+                               norotate=False, fixed_loc=(-1, -1)):
+    """Independent per-frame patch transforms with GT synthesized from the
+    composed transform (utils_patch.py:499-757).
+
+    The target and reference frames each get their own brightness jitter,
+    zoom and rotation; the reference frame additionally gets a large random
+    translation.  The returned GT flow canvas encodes the patch's apparent
+    motion: the rot_ref rotation field about the patch centre, plus the
+    translation, all scaled by zoom_ref/zoom_tgt — the reference's exact
+    formula, including its quirks (the mask is zoomed but never rotated;
+    the rotation field is evaluated on the TARGET patch grid; the
+    translation is scaled by the zoom ratio too).
+
+    np.random draw order matches the reference exactly, so seeding
+    np.random gives bit-identical placements (tested against the executed
+    reference in tests/test_attack_parity.py).
+
+    Returns ([x_tgt, x_ref], [xm_tgt, xm_ref], out_flow_canvas,
+    [xp_tgt, xp_ref], [rx, rx_ref], [ry, ry_ref], patch_shape) — all NHWC.
+    """
+    # ---- target frame (draws 1-2: jitter, zoom) ----
+    patch_tgt = patch + np.random.random() * 0.1 - 0.05
+    patch_tgt = np.clip(patch_tgt, 0.0, 1.0) * mask
+    B, image_h, image_w = data_shape[0], data_shape[1], data_shape[2]
+    x_tgt = np.zeros(data_shape)
+    xm_tgt = np.zeros(data_shape)
+    xp_tgt = np.zeros(data_shape)
+
+    zoom_factor_tgt = 1 + 0.05 * (np.random.random() - 0.5)
+    patch_tgt = zoom(patch_tgt, zoom=(1, zoom_factor_tgt, zoom_factor_tgt, 1),
+                     order=1)
+    mask_tgt = zoom(mask, zoom=(1, zoom_factor_tgt, zoom_factor_tgt, 1),
+                    order=0)
+    patch_init_tgt = zoom(patch_init,
+                          zoom=(1, zoom_factor_tgt, zoom_factor_tgt, 1),
+                          order=1)
+    patch_tgt_shape = patch_tgt.shape
+    m_size = patch.shape[2]
+    rx = ry = 0
+    for i in range(B):
+        if not norotate:  # draw 3: rotation (mask intentionally NOT rotated)
+            rot_tgt = 10 * (np.random.random() - 0.5)
+            patch_tgt[i] = rotate(patch_tgt[i], angle=rot_tgt, axes=(0, 1),
+                                  reshape=False, order=1)
+            patch_init_tgt[i] = rotate(patch_init_tgt[i], angle=rot_tgt,
+                                       axes=(0, 1), reshape=False, order=1)
+        if fixed_loc[0] < 0 or fixed_loc[1] < 0:  # draws 4-5: location
+            if center:
+                rx = (image_w - m_size) // 2
+                ry = (image_h - m_size) // 2
+            else:
+                rx = m_size + margin + np.random.choice(
+                    image_w - 2 * m_size - 2 * margin - 2
+                )
+                ry = m_size + np.random.choice(image_h - 2 * m_size - 2)
+        else:
+            rx, ry = fixed_loc
+        ph, pw = patch_tgt_shape[1], patch_tgt_shape[2]
+        x_tgt[i, ry : ry + ph, rx : rx + pw] = patch_tgt[i]
+        xm_tgt[i, ry : ry + ph, rx : rx + pw] = mask_tgt[i]
+        xp_tgt[i, ry : ry + ph, rx : rx + pw] = patch_init_tgt[i]
+
+    # patch-local GT flow: (u, v, valid) on the TARGET patch grid
+    flow = np.zeros_like(patch_tgt)
+    flow[..., -1] = 1
+
+    # ---- reference frame (draws 6-7: jitter, zoom) ----
+    patch_ref = patch + np.random.random() * 0.1 - 0.05
+    patch_ref = np.clip(patch_ref, 0.0, 1.0) * mask
+    zoom_factor_ref = 1 + 0.05 * (np.random.random() - 0.5)
+    patch_ref = zoom(patch_ref, zoom=(1, zoom_factor_ref, zoom_factor_ref, 1),
+                     order=1)
+    mask_ref = zoom(mask, zoom=(1, zoom_factor_ref, zoom_factor_ref, 1),
+                    order=0)
+    patch_init_ref = zoom(patch_init,
+                          zoom=(1, zoom_factor_ref, zoom_factor_ref, 1),
+                          order=1)
+    patch_ref_shape = patch_ref.shape
+
+    i = B - 1  # the reference leaks the loop index (utils_patch.py:640)
+    if not norotate:  # draw 8: ref rotation + rotational flow field
+        rot_ref = 360 * (np.random.random() - 0.5)
+        patch_ref[i] = rotate(patch_ref[i], angle=rot_ref, axes=(0, 1),
+                              reshape=False, order=1)
+        patch_init_ref[i] = rotate(patch_init_ref[i], angle=rot_ref,
+                                   axes=(0, 1), reshape=False, order=1)
+
+        target = flow[i, :, :, :2]
+        diff_rad = rot_ref * np.pi / 180
+        h, w = target.shape[:2]
+        warped = np.mgrid[:w, :h].T.astype(float) + target
+        warped -= np.array([w / 2, h / 2])
+        rot_field = np.zeros_like(target)
+        rot_field[..., 0] = (
+            (np.cos(diff_rad) - 1) * warped[..., 0]
+            + np.sin(diff_rad) * warped[..., 1]
+        )
+        rot_field[..., 1] = (
+            -np.sin(diff_rad) * warped[..., 0]
+            + (np.cos(diff_rad) - 1) * warped[..., 1]
+        )
+        flow[i, :, :, :2] = target + rot_field
+
+    # draws 9-10: translation, pushed back in-bounds
+    patch_translation_u = round(100 * ((np.random.random() - 0.5) / 0.5))
+    while patch_translation_u + rx < 0:
+        patch_translation_u += 1
+    while patch_translation_u + rx + patch_ref_shape[2] > image_w:
+        patch_translation_u -= 1
+    rx_ref = rx + patch_translation_u
+
+    patch_translation_v = round(100 * ((np.random.random() - 0.5) / 0.5))
+    while patch_translation_v + ry < 0:
+        patch_translation_v += 1
+    while patch_translation_v + ry + patch_ref_shape[1] > image_h:
+        patch_translation_v -= 1
+    ry_ref = ry + patch_translation_v
+
+    flow[..., 0] += patch_translation_u
+    flow[..., 1] += patch_translation_v
+    flow[..., :2] *= zoom_factor_ref / zoom_factor_tgt
+
+    x_ref = np.zeros(data_shape)
+    xm_ref = np.zeros(data_shape)
+    xp_ref = np.zeros(data_shape)
+    for i in range(B):
+        ph, pw = patch_ref_shape[1], patch_ref_shape[2]
+        x_ref[i, ry_ref : ry_ref + ph, rx_ref : rx_ref + pw] = patch_ref[i]
+        xm_ref[i, ry_ref : ry_ref + ph, rx_ref : rx_ref + pw] = mask_ref[i]
+        xp_ref[i, ry_ref : ry_ref + ph, rx_ref : rx_ref + pw] = (
+            patch_init_ref[i]
+        )
+
+    out_flow = np.zeros_like(x_tgt)
+    ph, pw = patch_tgt_shape[1], patch_tgt_shape[2]
+    out_flow[0, ry : ry + ph, rx : rx + pw, :] = flow[0] * mask_tgt[0]
+
+    return (
+        [x_tgt, x_ref], [xm_tgt, xm_ref], out_flow, [xp_tgt, xp_ref],
+        [rx, rx_ref], [ry, ry_ref], patch_shape,
+    )
+
+
 def square_transform(patch, mask, patch_init, data_shape, patch_shape,
                      norotate=False):
     """utils_patch.py:781-846: random 90-degree rotation + placement."""

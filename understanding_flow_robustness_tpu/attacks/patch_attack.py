@@ -65,26 +65,37 @@ def make_patch_attack_step(predict: Callable, cfg: PatchAttackConfig):
     @jax.jit
     def attack(tgt, ref_future, patch, mask, patch_init, target):
         def composite(p):
-            adv_tgt = jnp.clip((1 - mask) * tgt + mask * p, lo, hi)
-            adv_ref = jnp.clip((1 - mask) * ref_future + mask * p, lo, hi)
+            adv_tgt = (1 - mask) * tgt + mask * p
+            adv_ref = (1 - mask) * ref_future + mask * p
             return adv_tgt, adv_ref
 
         def cond(state):
-            patch, loss, count = state
+            _, _, _, loss, count = state
             return (loss > cfg.loss_threshold) & (count < cfg.max_count)
 
         def body(state):
-            patch, _, count = state
-            adv_tgt, adv_ref = composite(patch)
+            adv_tgt, adv_ref, patch, _, count = state
             loss, (g_tgt, g_ref) = grad_fn(
                 adv_tgt, adv_ref, target, mask, patch, patch_init
             )
-            step = jnp.clip(0.5 * cfg.lr * (g_tgt + g_ref), -2.0, 2.0)
-            return patch - step, loss, count + 1
+            patch = patch - jnp.clip(
+                0.5 * cfg.lr * (g_tgt + g_ref), -2.0, 2.0
+            )
+            # main.py:585-605: the composite is clamped AFTER each update;
+            # the initial composite below stays unclamped (main.py:536-541).
+            adv_tgt, adv_ref = composite(patch)
+            adv_tgt = jnp.clip(adv_tgt, lo, hi)
+            adv_ref = jnp.clip(adv_ref, lo, hi)
+            return adv_tgt, adv_ref, patch, loss, count + 1
 
-        init = (patch, jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0))
-        patch, loss, count = lax.while_loop(cond, body, init)
-        adv_tgt, adv_ref = composite(patch)
+        adv_tgt0, adv_ref0 = composite(patch)
+        init = (
+            adv_tgt0, adv_ref0, patch,
+            jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0),
+        )
+        adv_tgt, adv_ref, patch, loss, count = lax.while_loop(
+            cond, body, init
+        )
         return adv_tgt, adv_ref, patch, loss, count
 
     return attack

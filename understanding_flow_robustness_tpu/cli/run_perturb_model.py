@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_step", type=int, default=N_STEP)
     p.add_argument("--learning_rate", type=float, default=LEARNING_RATE)
     p.add_argument("--momentum", type=float, default=MOMENTUM)
+    p.add_argument("--probability_diverse_input", type=float, default=0.0,
+                   help="per-step probability of random resize-pad input "
+                        "diversification (perturb_model.py:759-821)")
     p.add_argument("--flownet", type=str, default="FlowNetC")
     p.add_argument("--pretrained_path", type=str, default="pretrained_models")
     p.add_argument("--flow_loss", type=str, default="cossim",
@@ -114,6 +117,7 @@ def main(argv=None):
                 momentum=args.momentum,
                 targeted=args.targeted or args.arbitrary_gt_index is not None,
                 flow_loss=args.flow_loss,
+                probability_diverse_input=args.probability_diverse_input,
             ),
             n_height=args.n_height,
             n_width=args.n_width,
