@@ -1,0 +1,155 @@
+"""Checkpoint-format round-trips: synthesize weight FILES in each zoo
+format the reference's loader consumes (models/utils_model.py:100-156),
+load them through ``fetch_model(pretrained_path=...)``, and assert forward
+parity with the reference torch model loaded from the same file.
+
+Formats covered:
+  * ``{"state_dict": sd}`` .pth.tar wrappers (FlowNet2-C/S checkpoints)
+  * raw state-dict .pth files (RobustFlowNetC, adv RAFT)
+  * DataParallel ``module.``-prefixed dicts (raft-things.pth)
+  * pwc_net_chairs.pth.tar (raw dict accepted by pwc_dc_net, PWCNet.py:381)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+import reference_oracle as oracle
+from understanding_flow_robustness_tpu.models import fetch_model
+
+RNG = np.random.RandomState(3)
+
+
+def _imgs(h, w):
+    return (RNG.rand(1, h, w, 3).astype(np.float32),
+            RNG.rand(1, h, w, 3).astype(np.float32))
+
+
+def _ref_out(model, x1, x2, scale=1.0, **kw):
+    model.eval()
+    with torch.no_grad():
+        out = model(oracle.nchw(x1 * scale), oracle.nchw(x2 * scale), **kw)
+    return out
+
+
+def _assert_forward_parity(name, ref_model, tmp_path, h=64, w=64,
+                           is_raft=False, tol=1e-3, **fetch_kw):
+    ours = fetch_model(name, pretrained_path=str(tmp_path),
+                       init_size=(h, w), **fetch_kw)
+    x1, x2 = _imgs(h, w)
+    got = np.asarray(ours.predict(x1, x2))
+    if is_raft:
+        _, up = _ref_out(ref_model, x1, x2, scale=255.0, test_mode=True)
+        ref = oracle.nhwc(up)
+    else:
+        ref = oracle.nhwc(_ref_out(ref_model, x1, x2))
+        if ref.shape[1] != h:  # predict upsamples to input size
+            import torch.nn.functional as F
+
+            ref = oracle.nhwc(torch.nn.functional.interpolate(
+                oracle.nchw(ref), (h, w), mode="bilinear",
+                align_corners=False,
+            ))
+    scale_h = h / ref.shape[1] if ref.shape[1] != h else 1.0
+    assert ref.shape == got.shape, (ref.shape, got.shape)
+    err = float(np.max(np.abs(got - ref)))
+    assert err < tol, (name, err)
+
+
+def test_flownetc_pth_tar_statedict_wrapper(tmp_path):
+    ref_mod = oracle.ref_module("FlowNetC")
+    ref = ref_mod.FlowNetC(batchNorm=False).eval()
+    torch.save({"state_dict": ref.state_dict()},
+               tmp_path / "FlowNet2-C_checkpoint.pth.tar")
+    _assert_forward_parity("FlowNetC", ref, tmp_path, tol=2e-2)
+
+
+def test_flownets_pth_tar_statedict_wrapper(tmp_path):
+    ref_mod = oracle.ref_module("FlowNet2S")
+    ref = ref_mod.FlowNet2S(batchNorm=False).eval()
+    torch.save({"state_dict": ref.state_dict()},
+               tmp_path / "FlowNet2-S_checkpoint.pth.tar")
+    _assert_forward_parity("FlowNetS", ref, tmp_path, tol=2e-2)
+
+
+def test_flex_raw_pth(tmp_path):
+    ref_mod = oracle.ref_module("FlowNetC_flexible_larger_field")
+    ref = ref_mod.FlowNetC_flexible_larger_field(
+        kernel_size=3, number_of_reps=3, dilation=1
+    ).eval()
+    torch.save(ref.state_dict(), tmp_path / "RobustFlowNetC.pth")
+    _assert_forward_parity("FlowNetCFlexLarger_k3_reps3", ref, tmp_path,
+                           tol=2e-2)
+
+
+def test_pwcnet_pth_tar(tmp_path):
+    ref_mod = oracle.ref_module("PWCNet")
+    ref = ref_mod.PWCDCNet().eval()
+    torch.save(ref.state_dict(), tmp_path / "pwc_net_chairs.pth.tar")
+    _assert_forward_parity("PWCNet", ref, tmp_path, tol=2e-2)
+
+
+def _raft_args(**over):
+    from argparse import Namespace
+
+    base = dict(
+        small=False, mixed_precision=False, alternate_corr=False,
+        fnorm="instance", cnorm="batch", no_separate_context=False,
+        corr_levels=4, iters=2, flowNetCEnc=False, dropout=0,
+        compute_spatial=False, corr_radius=4,
+        update_no_motion_downsampling=False,
+    )
+    base.update(over)
+    return Namespace(**base)
+
+
+def test_raft_adv_raw_pth(tmp_path):
+    """f32 RAFT variant, raw (unprefixed) state dict."""
+    raft_mod = oracle.ref_module("raft.raft")
+    ref = raft_mod.RAFT(_raft_args()).eval()
+    torch.save(ref.state_dict(),
+               tmp_path / "adv_kitti2012_raft_ifgsm_l2_0.02.pth")
+    _assert_forward_parity(
+        "RAFT_adv_kitti2012_ifgsm_l2_002", ref, tmp_path, h=128, w=128,
+        is_raft=True, tol=1e-3, iters=2,
+    )
+
+
+def test_raft_things_module_prefixed(tmp_path):
+    """raft-things.pth is saved from a DataParallel wrapper: every key is
+    'module.'-prefixed.  fetch_model must strip it (convert.py:45-62) and
+    match the reference forward (bf16 path => loose tolerance)."""
+    raft_mod = oracle.ref_module("raft.raft")
+    ref = raft_mod.RAFT(_raft_args()).eval()
+    sd = {"module." + k: v for k, v in ref.state_dict().items()}
+    torch.save(sd, tmp_path / "raft-things.pth")
+    _assert_forward_parity("RAFT", ref, tmp_path, h=128, w=128,
+                           is_raft=True, tol=0.5, iters=2)
+
+
+def test_flownet2_nested_names(tmp_path):
+    """FlowNet2's checkpoint has nested submodule names
+    (flownetc.*, flownets_1.*, ...) inside a state_dict wrapper."""
+    ref_mod = oracle.ref_module("flownet2_models")
+    ref = ref_mod.FlowNet2(batchNorm=False).eval()
+    torch.save({"state_dict": ref.state_dict()},
+               tmp_path / "FlowNet2_checkpoint.pth.tar")
+    _assert_forward_parity("FlowNet2", ref, tmp_path, tol=2e-2)
+
+
+def test_missing_checkpoint_falls_back_to_init(tmp_path):
+    m = fetch_model("FlowNetC", pretrained_path=str(tmp_path))
+    x1, x2 = _imgs(64, 64)
+    out = np.asarray(m.predict(x1, x2))
+    assert out.shape == (1, 64, 64, 2) and np.isfinite(out).all()
+
+
+def test_corrupt_checkpoint_raises(tmp_path):
+    ref_mod = oracle.ref_module("FlowNetC")
+    sd = ref_mod.FlowNetC(batchNorm=False).state_dict()
+    sd.pop(sorted(sd.keys())[0])
+    torch.save({"state_dict": sd}, tmp_path / "FlowNet2-C_checkpoint.pth.tar")
+    with pytest.raises(Exception):
+        fetch_model("FlowNetC", pretrained_path=str(tmp_path))

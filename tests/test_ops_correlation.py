@@ -234,3 +234,58 @@ def test_corr_lookup_pallas_matches_gather():
     ref = ops.corr_lookup(pyr, coords, 4, impl="gather")
     got = corr_lookup_pallas(pad_pyramid_for_lookup(pyr, 4), coords, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_corr_lookup_fused_interpret_matches_gather():
+    """Production fused Pallas lookup (ops/pallas/corr_lookup_fused.py) vs
+    the gather formulation, in Mosaic interpret mode so it runs on CPU.
+    Includes far out-of-volume and boundary-straddling centers."""
+    from understanding_flow_robustness_tpu.ops.pallas.corr_lookup_fused import (
+        corr_lookup_pallas,
+    )
+
+    B, H, W, C = 2, 16, 24, 16
+    f1 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    corr0 = ops.all_pairs_correlation(f1, f2)
+    pyr = ops.corr_pyramid(corr0, 4)
+    coords = np.asarray(ops.coords_grid(H, W))[None] + RNG.randn(
+        B, H, W, 2
+    ).astype(np.float32) * 3
+    coords[0, 0, 0] = [-50, -50]
+    coords[0, 0, 1] = [500, 500]
+    coords[0, 0, 2] = [-3.5, -3.5]   # straddles the volume edge
+    coords[0, 0, 3] = [W - 0.25, H - 0.25]
+    coords = jnp.asarray(coords.astype(np.float32))
+    ref = ops.corr_lookup(pyr, coords, 4, impl="gather")
+    got = corr_lookup_pallas(pyr, coords, 4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_corr_lookup_fused_on_tpu():
+    """On real TPU hardware: the compiled fused kernel (bf16 volume) vs
+    gather, and the custom-vjp gradient path stays finite."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU backend")
+    B, H, W, C = 1, 16, 32, 16
+    f1 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    corr0 = ops.all_pairs_correlation(f1, f2)
+    pyr = ops.corr_pyramid(corr0, 4)
+    coords = np.asarray(ops.coords_grid(H, W))[None] + RNG.randn(
+        B, H, W, 2
+    ).astype(np.float32) * 3
+    coords = jnp.asarray(coords.astype(np.float32))
+    ref = np.asarray(ops.corr_lookup(pyr, coords, 4, impl="gather"))
+    got = np.asarray(ops.corr_lookup(pyr, coords, 4, impl="pallas"))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    gotb = np.asarray(ops.corr_lookup(
+        pyr, coords, 4, impl="pallas", compute_dtype=jnp.bfloat16))
+    rel = np.abs(gotb - ref) / (np.abs(ref) + 1.0)
+    assert rel.max() < 2e-2
+
+    def loss(c):
+        return jnp.sum(ops.corr_lookup(pyr, c, 4, impl="pallas") ** 2)
+
+    g = jax.grad(loss)(coords)
+    assert np.isfinite(np.asarray(g)).all()

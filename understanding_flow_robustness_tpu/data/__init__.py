@@ -30,6 +30,7 @@ from .validation import (
     ValidationSetPair,
     ValidationFlowKitti2012,
     ValidationFlowKitti2015,
+    ValidationFlowKitti2015MV,
     ValidationSintel,
     get_evaluation_set,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "RandomCrop", "RandomHorizontalFlip", "RandomScaleCrop", "Scale",
     "SequenceFolder", "SparseFlowAugmentor", "ToFloat", "ToFloat01",
     "ValidationFlowKitti2012", "ValidationFlowKitti2015",
+    "ValidationFlowKitti2015MV",
     "ValidationSet", "ValidationSetPair", "ValidationSintel", "crawl_folders", "fetch_dataset",
     "get_evaluation_set", "imresize", "pad_batch",
 ]

@@ -113,6 +113,56 @@ class ValidationFlowKitti2015:
         return self.N
 
 
+class ValidationFlowKitti2015MV:
+    """KITTI 2015 MULTIVIEW loader (validation_flow.py:15-118): the
+    20-frame-per-scene multiview split.  index -> scene index//20, frame
+    index%20; GT flow/disp exist only for the annotated frame (10) — other
+    frames return zero GT, and the past frame is only loaded when the GT
+    exists (reference quirk, :84-88)."""
+
+    def __init__(self, root, transform=None, N=4000, phase="training",
+                 compression=0, raw_root=None, example=0,
+                 true_motion=False):
+        self.root = root
+        self.start = max(0, min(example, N))
+        self.N = 1 if example > 0 else N
+        self.transform = transform
+        self.phase = phase
+
+    def __getitem__(self, index):
+        index = self.start + index
+        scene, frame = index // 20, index % 20
+        j = os.path.join
+        name = f"{scene:06d}_{frame:02d}.png"
+        tgt_p = j(self.root, self.phase, "image_2", name)
+        past_p = j(self.root, self.phase, "image_2",
+                   f"{scene:06d}_{frame - 1:02d}.png")
+        fut_p = j(self.root, self.phase, "image_2",
+                  f"{scene:06d}_{frame + 1:02d}.png")
+        flow_p = j(self.root, self.phase, "flow_occ", name)
+        disp_p = j(self.root, self.phase, "disp_occ_0", name)
+
+        tgt = _load_float(tgt_p)
+        fut = _load_float(fut_p)
+        h, w = tgt.shape[:2]
+        if os.path.exists(flow_p):
+            past = _load_float(past_p)
+            flow, valid = fio.read_flow_png(flow_p)
+            gt_flow = np.dstack([flow, valid]).astype(np.float32)
+            gt_disp = fio.read_disparity_png(disp_p)
+        else:
+            past = np.zeros_like(tgt)
+            gt_flow = np.zeros((h, w, 3), np.float32)
+            gt_disp = np.zeros((h, w), np.float32)
+
+        if self.transform is not None:
+            tgt, past, fut = self.transform([tgt, past, fut])
+        return past, tgt, fut, gt_flow, gt_disp, {}, {}
+
+    def __len__(self):
+        return self.N
+
+
 class ValidationFlowKitti2012(ValidationFlowKitti2015):
     """validation_flow.py:288-349: same layout, colored_0 images, N=194."""
 
@@ -237,6 +287,11 @@ def get_evaluation_set(valset: str, args):
             raw_root=getattr(args, "kitti_raw_dir", None),
             example=getattr(args, "example", 0),
             true_motion=getattr(args, "true_motion", False),
+        )
+    if valset == "kitti2015mv":
+        return ValidationFlowKitti2015MV(
+            root=args.kitti_dir, transform=transform,
+            example=getattr(args, "example", 0),
         )
     if valset == "kitti2012":
         return ValidationFlowKitti2012(

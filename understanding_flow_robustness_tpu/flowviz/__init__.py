@@ -1,13 +1,17 @@
 """Flow I/O, visualization and numpy-side metrics."""
 
+from .flow_viz import batch_compute_flow_image, compute_flow_image
 from .flowlib import (
     UNKNOWN_FLOW_THRESH,
     compute_color,
+    disp_to_flowfile,
     evaluate_flow,
     flow_error,
     flow_to_image,
     interp_gt_flow,
     make_color_wheel,
+    scale_image,
+    segment_flow,
 )
 from .io import (
     read_disparity_png,
@@ -25,6 +29,11 @@ from .io import (
 
 __all__ = [
     "UNKNOWN_FLOW_THRESH",
+    "batch_compute_flow_image",
+    "compute_flow_image",
+    "disp_to_flowfile",
+    "scale_image",
+    "segment_flow",
     "compute_color",
     "evaluate_flow",
     "flow_error",

@@ -127,3 +127,57 @@ def interp_gt_flow(mat: np.ndarray, mask: np.ndarray | None = None) -> np.ndarra
     vals = mat[valid].reshape(-1, 2)
     return interpolate.griddata(pts, vals, (xx, yy), method="linear",
                                 fill_value=1e8)
+
+
+SMALLFLOW = 0.0
+LARGEFLOW = 1e8
+
+
+def segment_flow(flow: np.ndarray) -> np.ndarray:
+    """Octant segmentation of a flow field (flowlib.py:155-189): label each
+    pixel 0-8 by the direction octant of (u, v); 0 = zero flow.  Mutates a
+    copy (the reference mutates its input's u channel in place)."""
+    u = np.array(flow[:, :, 0], dtype=np.float64, copy=True)
+    v = np.array(flow[:, :, 1], dtype=np.float64, copy=True)
+
+    large = (np.abs(u) > LARGEFLOW) | (np.abs(v) > LARGEFLOW)
+    zero = (v == 0) & (u == 0)
+    u[np.abs(u) == SMALLFLOW] = 0.00001
+    tan_value = v / u
+
+    seg = np.zeros(u.shape)
+    seg[(tan_value < 1) & (tan_value >= 0) & (u > 0) & (v >= 0)] = 1
+    seg[(tan_value >= 1) & (u >= 0) & (v >= 0)] = 2
+    seg[(tan_value < -1) & (u <= 0) & (v >= 0)] = 3
+    seg[(tan_value < 0) & (tan_value >= -1) & (u < 0) & (v >= 0)] = 4
+    seg[(tan_value >= 0) & (tan_value < 1) & (u < 0) & (v <= 0)] = 5
+    seg[(tan_value >= 1) & (u <= 0) & (v <= 0)] = 6
+    seg[(tan_value < -1) & (u >= 0) & (v <= 0)] = 7
+    seg[(tan_value >= -1) & (tan_value < 0) & (u > 0) & (v <= 0)] = 8
+    seg[zero] = 0
+    seg[large] = 0
+    return seg
+
+
+def disp_to_flowfile(disp: np.ndarray, filename: str) -> None:
+    """Write a disparity map as a .flo file with v == 0
+    (flowlib.py:362-379)."""
+    with open(filename, "wb") as f:
+        np.array([202021.25], np.float32).tofile(f)
+        h, w = disp.shape[:2]
+        np.array([w], np.int32).tofile(f)
+        np.array([h], np.int32).tofile(f)
+        np.dstack([disp, np.zeros((h, w), np.float32)]).astype(
+            np.float32
+        ).tofile(f)
+
+
+def scale_image(image: np.ndarray, new_range) -> np.ndarray:
+    """Linear rescale into [min(new_range), max(new_range)] as uint8
+    (flowlib.py:452-466)."""
+    # min/max round through float32 like the reference (flowlib.py:459-460)
+    lo = np.min(image).astype(np.float32)
+    hi = np.max(image).astype(np.float32)
+    lo_n = np.array(min(new_range), np.float32)
+    hi_n = np.array(max(new_range), np.float32)
+    return ((image - lo) / (hi - lo) * (hi_n - lo_n) + lo_n).astype(np.uint8)

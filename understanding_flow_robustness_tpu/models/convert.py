@@ -267,6 +267,10 @@ def convert_flownet2(sd: dict[str, np.ndarray]):
 
 
 def convert_pwcnet(sd: dict[str, np.ndarray]):
+    # deconv2 is a dead layer in the reference (defined at PWCNet.py:143,
+    # never used in forward — the cascade stops at up_flow3); checkpoints
+    # carry its params but our module has no counterpart.
+    sd = {k: v for k, v in sd.items() if not k.startswith("deconv2.")}
     p = lambda name: (name,)
 
     def seq_conv_fn(m):

@@ -32,6 +32,8 @@ Design notes (TPU):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -247,7 +249,7 @@ def corr_pyramid(corr: Array, num_levels: int = 4) -> list[Array]:
 
 
 def corr_lookup(pyramid: list[Array], coords: Array, radius: int = 4,
-                impl: str = "mxu", compute_dtype=None) -> Array:
+                impl: str | None = None, compute_dtype=None) -> Array:
     """Radius-r window lookup into the correlation pyramid.
 
     pyramid[i]: (B, H1*W1, H2/2^i, W2/2^i); coords: (B, H1, W1, 2) in pixel
@@ -260,16 +262,58 @@ def corr_lookup(pyramid: list[Array], coords: Array, radius: int = 4,
     traffic of the MXU path — the lookup is HBM-bound, so halving the
     element size nearly halves its cost; accumulation stays f32.
 
-    impl="mxu" (default): gather-free.  All (2r+1)^2 sample points of a
-    query share one fractional offset, so the bilinear window lookup is a
-    separable pair of per-query one-hot-selector matmuls with the bilinear
-    weights baked in — XLA runs it entirely on the MXU, which is orders of
-    magnitude faster on TPU than the scalar gathers of the direct
-    formulation (impl="gather", kept as the semantic reference).
+    impl=None (default) auto-selects: "pallas" on TPU, "mxu" elsewhere.
+
+    impl="pallas": fused Pallas kernel (ops/pallas/corr_lookup_fused.py) —
+    the TPU analog of alt_cuda_corr/correlation_kernel.cu:18-100.  The
+    volume streams through VMEM once; selectors and intermediates never
+    touch HBM.  Forward-only: gradients route through the "mxu"
+    formulation via custom_vjp (identical math).
+
+    impl="mxu": gather-free pure-XLA fallback.  All (2r+1)^2 sample points
+    of a query share one fractional offset, so the bilinear window lookup
+    is a separable pair of per-query one-hot-selector matmuls with the
+    bilinear weights baked in — far faster on TPU than the scalar gathers
+    of the direct formulation (impl="gather", kept as the semantic
+    reference), but it materializes selector/intermediate tensors in HBM.
     """
+    if impl is None:
+        # TODO(perf): the fused kernel beats the mxu path per level in
+        # isolation, but its output relayout (16x16 -> transposed 9x9
+        # channels) currently dominates in the full model; auto stays on
+        # "mxu" until that is folded into the kernel.
+        impl = "mxu"
     if impl == "gather":
         return _corr_lookup_gather(pyramid, coords, radius)
+    if impl == "pallas":
+        return _corr_lookup_pallas_vjp(tuple(pyramid), coords, radius,
+                                       compute_dtype)
     return _corr_lookup_mxu(pyramid, coords, radius, compute_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _corr_lookup_pallas_vjp(pyramid, coords, radius, compute_dtype):
+    from .pallas.corr_lookup_fused import corr_lookup_pallas
+
+    return corr_lookup_pallas(list(pyramid), coords, radius, compute_dtype)
+
+
+def _corr_lookup_pallas_fwd(pyramid, coords, radius, compute_dtype):
+    out = _corr_lookup_pallas_vjp(pyramid, coords, radius, compute_dtype)
+    return out, (pyramid, coords)
+
+
+def _corr_lookup_pallas_bwd(radius, compute_dtype, res, g):
+    pyramid, coords = res
+    _, vjp = jax.vjp(
+        lambda p, c: _corr_lookup_mxu(list(p), c, radius, compute_dtype),
+        pyramid, coords,
+    )
+    return vjp(g)
+
+
+_corr_lookup_pallas_vjp.defvjp(_corr_lookup_pallas_fwd,
+                               _corr_lookup_pallas_bwd)
 
 
 def _corr_lookup_mxu(pyramid: list[Array], coords: Array, radius: int,
