@@ -180,3 +180,21 @@ def test_patch3d_projection_identity_pose():
     assert abs(pf.sum() - canvas.sum()) / canvas.sum() < 0.05
     # patch center survives exactly
     np.testing.assert_allclose(pf[0, 24:32, 34:42], 1.0, atol=2e-2)
+
+
+def test_validate_disparity_branch(tmp_path):
+    """is_disparity mode reports MAE/RMSE/D1 before/after over gt>0
+    (global_attacks/log_utils.py:251-305)."""
+    from understanding_flow_robustness_tpu.attacks.log_utils import validate
+
+    rng = np.random.RandomState(0)
+    gt = rng.rand(12, 16).astype(np.float32) * 60
+    gt[0, :4] = 0  # invalid
+    origin = gt + rng.randn(12, 16).astype(np.float32)
+    output = gt + 8 * rng.randn(12, 16).astype(np.float32)
+    n0 = rng.randn(12, 16, 3).astype(np.float32) * 0.01
+    res = validate([n0], [n0], [origin], [output], [gt],
+                   output_path=str(tmp_path), is_disparity=True)
+    assert res["disparity_d1_attacked"][0] >= res["disparity_d1_unattacked"][0]
+    assert res["disparity_rmse_attacked"][0] > res["disparity_rmse_unattacked"][0]
+    assert (tmp_path / "results0.txt").exists()

@@ -90,19 +90,29 @@ def validate(
     noises0, noises1, origins, outputs, ground_truths,
     output_path: str | None = None,
     seed: int = 0,
+    is_disparity: bool = False,
 ) -> dict[str, tuple[float, float]]:
     """Aggregate attack metrics over all samples (log_utils.py:226-528):
-    per-sample noise L0/L1 and flow EPE/cossim/L1 before/after, reported as
-    (mean, std) and appended to results{seed}.txt."""
+    per-sample noise L0/L1 plus flow EPE/cossim/L1 before/after — or, in
+    disparity mode (log_utils.py:251-305), MAE/RMSE/D1 before/after over
+    the gt>0 & non-NaN mask — reported as (mean, std) and appended to
+    results{seed}.txt."""
     import jax.numpy as jnp
 
     n = len(outputs)
-    cols = {k: np.zeros(n) for k in [
-        "noise0_l0pix", "noise0_l1pix", "noise1_l0pix", "noise1_l1pix",
+    flow_keys = [
         "flow_epe_origin", "flow_epe",
         "flow_cossim_unattacked", "flow_cossim_attacked",
         "flow_l1_unattacked", "flow_l1_attacked",
-    ]}
+    ]
+    disp_keys = [
+        "disparity_mae_unattacked", "disparity_mae_attacked",
+        "disparity_rmse_unattacked", "disparity_rmse_attacked",
+        "disparity_d1_unattacked", "disparity_d1_attacked",
+    ]
+    cols = {k: np.zeros(n) for k in [
+        "noise0_l0pix", "noise0_l1pix", "noise1_l0pix", "noise1_l1pix",
+    ] + (disp_keys if is_disparity else flow_keys)}
 
     for i, (n0, n1, origin, output, gt) in enumerate(
         zip(noises0, noises1, origins, outputs, ground_truths)
@@ -111,6 +121,22 @@ def validate(
         cols["noise0_l1pix"][i] = eval_utils.lp_norm(n0, p=1, axis=-1)
         cols["noise1_l0pix"][i] = eval_utils.lp_norm(n1, p=0)
         cols["noise1_l1pix"][i] = eval_utils.lp_norm(n1, p=1, axis=-1)
+
+        if is_disparity:
+            mask = np.logical_and(gt > 0.0, ~np.isnan(gt))
+            cols["disparity_mae_unattacked"][i] = eval_utils.mean_abs_err(
+                origin[mask], gt[mask])
+            cols["disparity_mae_attacked"][i] = eval_utils.mean_abs_err(
+                output[mask], gt[mask])
+            cols["disparity_rmse_unattacked"][i] = (
+                eval_utils.root_mean_sq_err(origin[mask], gt[mask]))
+            cols["disparity_rmse_attacked"][i] = (
+                eval_utils.root_mean_sq_err(output[mask], gt[mask]))
+            cols["disparity_d1_unattacked"][i] = eval_utils.d1_error(
+                origin[mask], gt[mask])
+            cols["disparity_d1_attacked"][i] = eval_utils.d1_error(
+                output[mask], gt[mask])
+            continue
 
         gt_j = jnp.asarray(gt[None])
         origin_j = jnp.asarray(origin[None])
