@@ -29,6 +29,7 @@ from jax import lax
 
 from ..ops import (
     all_pairs_correlation,
+    alt_corr_features,
     avg_pool2,
     coords_grid,
     corr_lookup,
@@ -232,17 +233,70 @@ class SepConvGRU(nn.Module):
         return h
 
 
+class PaddedCorrConv1x1(nn.Module):
+    """convc1 over the PADDED fused-corr layout (ops/pallas/alt_corr.py):
+    input channel t*(L*16) + l*16 + s holds level l's window sample
+    (t, s); positions past the 2r+1 window are live padding samples.  The
+    parameter keeps the reference compact shape (1, 1, L*n^2, features) so
+    checkpoints load unchanged and is scatter-expanded into a zero matrix
+    at trace time; the padding channels multiply zero weights, so the
+    output is identical to the compact conv while the relayout cost
+    disappears into the MXU."""
+
+    features: int
+    cor_planes: int
+    num_levels: int
+    n: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        import numpy as np
+
+        kernel = self.param(
+            "kernel", nn.initializers.kaiming_normal(),
+            (1, 1, self.cor_planes, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        # reference channel order is s-major: source channel l*n^2 + s*n + t
+        # lives at padded position t*(L*16) + l*16 + s
+        ll = np.arange(self.num_levels)[:, None, None]
+        ss = np.arange(self.n)[None, :, None]
+        tt = np.arange(self.n)[None, None, :]
+        idx = jnp.asarray(
+            (tt * (self.num_levels * 16) + ll * 16 + ss).reshape(-1))
+        big = jnp.zeros((x.shape[-1], self.features), jnp.float32)
+        big = big.at[idx].set(kernel[0, 0])
+        dtype = self.dtype or x.dtype
+        y = jnp.einsum(
+            "bhwc,cf->bhwf", x.astype(dtype), big.astype(dtype),
+            preferred_element_type=dtype,
+        )
+        return y + bias.astype(dtype)
+
+
 class BasicMotionEncoder(nn.Module):
     """models/raft/update.py:96-121."""
 
     cor_planes: int
     no_motion_downsampling: bool = False
     dtype: Optional[Any] = None
+    # > 0: corr comes in the padded fused layout with this many levels
+    padded_corr_levels: int = 0
 
     @nn.compact
     def __call__(self, flow: Array, corr: Array):
         relu = jax.nn.relu
-        cor = relu(TorchConv(256, 1, 1, dtype=self.dtype, name="convc1")(corr))
+        if self.padded_corr_levels:
+            n = int(round((self.cor_planes / self.padded_corr_levels) ** 0.5))
+            cor = relu(PaddedCorrConv1x1(
+                256, self.cor_planes, self.padded_corr_levels, n,
+                dtype=self.dtype, name="convc1")(corr))
+        else:
+            cor = relu(TorchConv(256, 1, 1, dtype=self.dtype,
+                                 name="convc1")(corr))
         cor1 = cor
         if not self.no_motion_downsampling:
             cor = relu(TorchConv(192, 3, 1, dtype=self.dtype, name="convc2")(cor))
@@ -278,11 +332,13 @@ class BasicUpdateBlock(nn.Module):
     hidden_dim: int = 128
     no_motion_downsampling: bool = False
     dtype: Optional[Any] = None
+    padded_corr_levels: int = 0
 
     @nn.compact
     def __call__(self, net: Array, inp: Array, corr: Array, flow: Array):
         motion_features, cor1, cor, cor_flo = BasicMotionEncoder(
             self.cor_planes, self.no_motion_downsampling, self.dtype,
+            self.padded_corr_levels,
             name="encoder",
         )(flow, corr)
         x = jnp.concatenate([inp, motion_features], axis=-1)
@@ -361,6 +417,13 @@ class RAFT(nn.Module):
     mixed_precision: bool = False
     return_features: bool = False
     batch_pad_encoders: bool = False
+    # "auto" | "alt" | "volume": "alt" fuses the corr lookup straight from
+    # the feature maps (ops.alt_corr_features — the TPU alt_cuda_corr,
+    # models/raft/corr.py:109-137) and never materializes the all-pairs
+    # volume; "volume" precomputes volume + pyramid (CorrBlock,
+    # corr.py:26-106).  "auto" picks alt on TPU except when feature taps
+    # need the explicit pyramid.  Both are value-equal.
+    corr_impl: str = "auto"
     dtype: Optional[Any] = None
 
     @property
@@ -420,8 +483,22 @@ class RAFT(nn.Module):
 
         feats = {"fmap1": fmap1, "fmap2": fmap2}
 
+        # Fused lookup path: skip the all-pairs volume entirely and
+        # recompute correlation rows inside the lookup kernel
+        # (ops.alt_corr_features).  Feature taps need the explicit pyramid,
+        # so return_features falls back to the volume path.
+        use_alt = (
+            not self.compute_spatial
+            and not self.return_features
+            and (self.corr_impl == "alt"
+                 or (self.corr_impl == "auto"
+                     and jax.default_backend() == "tpu"))
+        )
+
         # correlation volume + pyramid
-        if self.compute_spatial:
+        if use_alt:
+            pyramid = None
+        elif self.compute_spatial:
             # CorrBlock(compute_spatial=True) (corr.py:33-54): 21x21/dil-2
             # spatial corr, channels become the batch of pyramid "images".
             # the pyramid uses the RAW (unnormalized) spatial correlation;
@@ -441,8 +518,9 @@ class RAFT(nn.Module):
                 # cast would re-materialize it every iteration
                 corr0 = corr0.astype(compute_dtype)
             pyramid = corr_pyramid(corr0, self.corr_levels)
-        for i, lvl in enumerate(pyramid):
-            feats[f"corr_pyramid_{i}"] = lvl
+        if pyramid is not None:
+            for i, lvl in enumerate(pyramid):
+                feats[f"corr_pyramid_{i}"] = lvl
 
         # context network (raft.py:167-175)
         if self.no_separate_context:
@@ -474,7 +552,16 @@ class RAFT(nn.Module):
         if flow_init is not None:
             coords1 = coords1 + flow_init
 
-        if self.compute_spatial:
+        # The padded fused layout (16x16 window blocks, junk channels zero)
+        # feeds PaddedCorrConv1x1 directly; the small model keeps the
+        # compact layout (its motion encoder is not padded-aware).
+        use_alt_padded = use_alt and not self.small
+        if use_alt:
+            lookup = lambda pyr, c: alt_corr_features(
+                fmap1, fmap2, c, self.corr_levels, self.radius,
+                compute_dtype=compute_dtype, padded=use_alt_padded,
+            )
+        elif self.compute_spatial:
             lookup = _spatial_corr_lookup
         else:
             # bf16 lookup traffic under mixed precision: the window lookup
@@ -493,7 +580,11 @@ class RAFT(nn.Module):
             )
         else:
             update_block = BasicUpdateBlock(
-                cor_planes, hdim, dtype=compute_dtype, name="update_block"
+                cor_planes, hdim, dtype=compute_dtype,
+                padded_corr_levels=(
+                    self.corr_levels if use_alt_padded else 0
+                ),
+                name="update_block",
             )
 
         def step(carry, _):

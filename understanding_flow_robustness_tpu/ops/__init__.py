@@ -2,6 +2,7 @@
 
 from .correlation import (
     all_pairs_correlation,
+    alt_corr_features,
     channel_norm,
     corr_lookup,
     corr_pyramid,
@@ -24,6 +25,7 @@ from .interp import (
 
 __all__ = [
     "all_pairs_correlation",
+    "alt_corr_features",
     "apply_pad",
     "avg_pool2",
     "bilinear_sample",

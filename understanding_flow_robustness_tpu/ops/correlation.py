@@ -397,6 +397,100 @@ def _corr_lookup_gather(pyramid: list[Array], coords: Array, radius: int) -> Arr
     return jnp.concatenate(out, axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Fused on-demand lookup (the TPU alt_cuda_corr) — see ops/pallas/alt_corr.py
+# ---------------------------------------------------------------------------
+
+
+def alt_corr_features(fmap1: Array, fmap2: Array, coords: Array,
+                      num_levels: int = 4, radius: int = 4,
+                      compute_dtype=None, padded: bool = False,
+                      interpret: bool = False) -> Array:
+    """Correlation-pyramid window lookup computed straight from the feature
+    maps — value-equal to
+    ``corr_lookup(corr_pyramid(all_pairs_correlation(f1, f2)), coords)``
+    without materializing the (B, H*W, H, W) volume in HBM.
+
+    The TPU analog of the reference's AlternateCorrBlock / alt_cuda_corr
+    (models/raft/corr.py:109-137, alt_cuda_corr/correlation_kernel.cu:
+    18-100): per query tile, the corr rows are recomputed on the MXU against
+    a VMEM-resident (pooled) fmap2 inside a fused Pallas kernel.
+
+    padded=True returns (B, H, W, num_levels*256) with each level's
+    (2r+1)x(2r+1) window zero-padded into a 16x16 channel block
+    (channel = s*16 + t, s-major like the reference's transposed order) —
+    the layout the fused RAFT motion encoder consumes directly.
+
+    Differentiable: gradients route through the volume formulation
+    (identical math) via custom_vjp.
+    """
+    return _alt_corr_vjp(fmap1, fmap2, coords, num_levels, radius,
+                         compute_dtype, padded, interpret)
+
+
+def _alt_corr_reference(fmap1: Array, fmap2: Array, coords: Array,
+                        num_levels: int, radius: int,
+                        compute_dtype=None, padded: bool = False) -> Array:
+    """jnp reference for alt_corr_features (and its backward): the explicit
+    volume + pyramid + mxu-lookup composition."""
+    corr0 = all_pairs_correlation(fmap1, fmap2)
+    if compute_dtype is not None:
+        corr0 = corr0.astype(compute_dtype)
+    pyr = corr_pyramid(corr0, num_levels)
+    out = _corr_lookup_mxu(pyr, coords, radius, compute_dtype)
+    if not padded:
+        return out
+    # re-emit in the lane-stacked padded layout: channel
+    # t*(L*16) + l*16 + s (the padding entries are zero here — consumers
+    # must not read them, the Pallas kernel leaves live samples there)
+    B, H, W, _ = coords.shape
+    n = 2 * radius + 1
+    P = 16
+    chunks = jnp.split(out, num_levels, axis=-1)
+    stacked = jnp.zeros((B, H, W, P, num_levels, P), out.dtype)
+    for lvl, ch in enumerate(chunks):
+        blk = ch.reshape(B, H, W, n, n)  # (s, t) s-major
+        blk = jnp.transpose(blk, (0, 1, 2, 4, 3))  # -> (t, s)
+        stacked = stacked.at[..., :n, lvl, :n].set(blk)
+    stacked = stacked.reshape(B, H, W, P * num_levels * P)
+    # match the Pallas forward's output dtype (bf16 in production) so the
+    # custom_vjp cotangent dtypes line up
+    if compute_dtype is not None:
+        stacked = stacked.astype(compute_dtype)
+    return stacked
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _alt_corr_vjp(fmap1, fmap2, coords, num_levels, radius, compute_dtype,
+                  padded, interpret):
+    from .pallas.alt_corr import alt_corr_features as _pallas_impl
+
+    return _pallas_impl(fmap1, fmap2, coords, num_levels, radius,
+                        compute_dtype, padded, interpret)
+
+
+def _alt_corr_fwd(fmap1, fmap2, coords, num_levels, radius, compute_dtype,
+                  padded, interpret):
+    out = _alt_corr_vjp(fmap1, fmap2, coords, num_levels, radius,
+                        compute_dtype, padded, interpret)
+    return out, (fmap1, fmap2, coords)
+
+
+def _alt_corr_bwd(num_levels, radius, compute_dtype, padded, interpret,
+                  res, g):
+    fmap1, fmap2, coords = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _alt_corr_reference(
+            a, b, c, num_levels, radius, compute_dtype, padded
+        ),
+        fmap1, fmap2, coords,
+    )
+    return vjp(g)
+
+
+_alt_corr_vjp.defvjp(_alt_corr_fwd, _alt_corr_bwd)
+
+
 def channel_norm(x: Array, eps: float = 0.0) -> Array:
     """Per-pixel L2 norm over channels: (B, H, W, C) -> (B, H, W, 1).
 

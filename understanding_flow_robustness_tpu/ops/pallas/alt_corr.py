@@ -1,0 +1,308 @@
+"""Fused on-demand correlation lookup (the TPU alt_cuda_corr).
+
+TPU-native analog of the reference's memory-efficient correlation
+(``models/alt_cuda_corr/correlation_kernel.cu:18-100`` via
+``AlternateCorrBlock``, models/raft/corr.py:109-137): instead of
+materializing the all-pairs volume ``(B, H*W, H, W)`` in HBM and bilinearly
+sampling it 12x per forward (models/raft/corr.py:26-106), each query's
+correlation rows are recomputed on the MXU *inside* the lookup kernel and
+never leave VMEM.
+
+Why this is the right TPU design (measured on v5e, batch 8 @ 48x160):
+
+* The volume path is HBM-bound: the level-0 volume alone is 472 MB in bf16
+  and must be streamed through VMEM once per GRU iteration (12x/forward).
+* Recomputing a query tile's corr rows is one dense bf16 matmul against a
+  VMEM-resident ``fmap2`` — the MXU does it faster than the DMA could
+  deliver the precomputed rows, and the only HBM traffic left is
+  ``fmap1``/``fmap2`` (a few MB) plus the small lookup output.
+* The correlation pyramid collapses: ``avg_pool`` over the volume's target
+  dims equals correlation against an avg-pooled ``fmap2`` (the correlation
+  is linear in f2), so each level just swaps in a pooled feature map (all
+  four levels together: 5.2 MB bf16, VMEM-resident across the query loop).
+* The bilinear window sample is a separable pair of hat-function selector
+  contractions (``relu(1 - |grid - center|)`` IS the bilinear weight, and
+  rows fully outside the volume get all-zero selectors — grid_sample zeros
+  semantics for free).
+* All four pyramid levels run in ONE kernel per query tile: f1 streams
+  once, launch overhead amortizes, and the per-level outputs come out in
+  16x16 zero-padded window blocks whose reshape to channels is
+  tile-aligned (the compact 9x9 slice-and-concat costs ~1.8 ms/iteration
+  in XLA relayouts at KITTI geometry; the padded layout is free and a 1x1
+  conv consumes the zero channels at no accuracy cost).
+
+Output layout: per level ``(B, N, P, P)`` with ``P = 16`` (the bf16 sublane
+tile) and ``out[q, t, s]`` = bilinear sample at ``(x + s - r, y + t - r)``.
+The reference's channel order is s-major (models/raft/corr.py:79-85):
+compact consumers transpose the tiny window dims; the padded motion-encoder
+conv just uses channel index ``t*16 + s``.  Entries with ``s`` or
+``t >= 2r+1`` are live hat samples that consumers slice off or weight by
+zero (cheaper than masking them in-kernel).
+
+Forward-only: gradients route through the jnp volume formulation via
+custom_vjp in ops.correlation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# Window tile side: next multiple of 16 (bf16 sublane tile) above 2r+2.
+TILE_P = 16
+
+
+def _hat_selector(c, extent, tq, sel_dtype):
+    """(tq, P, extent) separable bilinear selector for window top-left c
+    ((tq, 1, 1) f32): row j holds relu(1 - |grid - (c + j)|).  Rows
+    j >= 2r+1 are window-tile padding; they carry live hat weights (an
+    extra VPU mask costs more than it saves) — consumers either slice them
+    off (compact layout) or multiply them by zero weights (the padded
+    motion-encoder conv scatters the reference kernel into a zero matrix,
+    ops/correlation.alt_corr_features docstring)."""
+    gg = lax.broadcasted_iota(jnp.int32, (tq, TILE_P, extent), 2).astype(
+        jnp.float32)
+    jj = lax.broadcasted_iota(jnp.int32, (tq, TILE_P, extent), 1).astype(
+        jnp.float32)
+    hat = jnp.maximum(1.0 - jnp.abs(gg - (c + jj)), 0.0)
+    return hat.astype(sel_dtype)
+
+
+def _alt_corr_kernel(cy_ref, cx_ref, f1_ref, *rest, shapes, tq, n,
+                     sel_dtype, out_dtype):
+    """All pyramid levels for one query tile.  Per level l:
+      corr[q, h, w] = sum_c f1[q, c] * f2_l[h, w, c]      (MXU, dense)
+      scol[q, s, w] = relu(1 - |w - (cx[q]/2^l - r + s)|)  (VPU hats)
+      srow[q, t, h] = relu(1 - |h - (cy[q]/2^l - r + t)|)
+      out_l[q, t, s] = sum_h srow * (sum_w scol * corr)    (batched MXU)
+    cy/cx hold the level-0 window CENTER; top-left = center/2^l - r.
+    The scol contraction picks whichever operand order gives the larger
+    MXU M dim (hl vs the 16 window rows); the srow contraction then always
+    emits the uniform (t, s) window orientation."""
+    L = len(shapes)
+    f2_refs, out_ref = rest[:L], rest[L]
+    f1t = f1_ref[0]  # (tq, C) sel_dtype
+    C = f1t.shape[1]
+    prec = None if sel_dtype == jnp.bfloat16 else lax.Precision.HIGHEST
+    cy0 = cy_ref[0]  # (tq, 1, 1) f32
+    cx0 = cx_ref[0]
+
+    for lvl, (hl, wl) in enumerate(shapes):
+        inv = 1.0 / (2 ** lvl)
+        # clamp far-out centers so the f32 hat arithmetic stays exact; a
+        # clamped-from window is fully out of volume and matches nothing
+        cy = jnp.clip(cy0 * inv - n // 2, -2.0 * TILE_P, hl + 2.0)
+        cx = jnp.clip(cx0 * inv - n // 2, -2.0 * TILE_P, wl + 2.0)
+
+        # Corr rows as ONE hl-batched MXU dot against a broadcast f1 tile.
+        # (Mosaic cannot reshape a (tq, Hl*Wl) matmul result to 3D, and
+        # row-wise stores need an unsupported 2D->3D expand; the batched
+        # dot + a major-dims transpose is what it lowers cleanly.)
+        f1e = jnp.broadcast_to(f1t[None], (hl, tq, C))
+        corrH = lax.dot_general(
+            f1e, f2_refs[lvl][0],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # (Hl, tq, Wl)
+        corr = jnp.transpose(corrH, (1, 0, 2)).astype(sel_dtype)
+
+        scol = _hat_selector(cx, wl, tq, sel_dtype)
+        srow = _hat_selector(cy, hl, tq, sel_dtype)
+
+        if hl > TILE_P:
+            # M = hl on the MXU (3x the utilization of M = 16 at level 0)
+            colsT = lax.dot_general(
+                corr, scol,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            ).astype(sel_dtype)  # (tq, Hl, P[s])
+            out_l = lax.dot_general(
+                srow, colsT,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (tq, P[t], P[s])
+        else:
+            cols = lax.dot_general(
+                scol, corr,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            ).astype(sel_dtype)  # (tq, P[s], Hl)
+            out_l = lax.dot_general(
+                srow, cols,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (tq, P[t], P[s])
+        # levels stack along lanes: minor dim L*16 keeps every downstream
+        # copy/contraction lane-dense (a 16-lane minor runs at 1/8 width)
+        out_ref[0, :, :, lvl * TILE_P:(lvl + 1) * TILE_P] = out_l.astype(
+            out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "tile", "interpret")
+)
+def alt_lookup(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
+               radius: int, tile: int = 256,
+               interpret: bool = False) -> Array:
+    """Fused lookup over all pyramid levels in one kernel.
+
+    f1: (B, N, C) query features, pre-scaled by 1/sqrt(C) (bf16
+    recommended).  f2_levels: per level (B, Hl, Wl, C), same dtype.
+    coords: (B, N, 2) level-0 (x, y) window centers, f32.  Returns
+    (B, N, P, L*P) (f1's dtype) with out[q, t, l*P + s] = bilinear sample
+    of the on-demand level-l correlation image at
+    (y/2^l - r + t, x/2^l - r + s), zeros outside the volume; rows/cols
+    past 2*radius+1 are live padding samples.
+    """
+    n = 2 * radius + 1
+    assert n + 1 <= TILE_P, "radius too large for the 16-wide window tile"
+    B, N, C = f1.shape
+    shapes = tuple((f.shape[1], f.shape[2]) for f in f2_levels)
+
+    padn = (-N) % tile
+    if padn:
+        f1 = jnp.pad(f1, ((0, 0), (0, padn), (0, 0)))
+        coords = jnp.pad(coords, ((0, 0), (0, padn), (0, 0)))
+    np_ = f1.shape[1]
+
+    cx = coords[..., 0].astype(jnp.float32)[..., None, None]
+    cy = coords[..., 1].astype(jnp.float32)[..., None, None]
+
+    sel_dtype = f1.dtype if f1.dtype == jnp.bfloat16 else jnp.float32
+    out_dtype = sel_dtype
+    L = len(shapes)
+    grid = (B, np_ // tile)
+
+    flops = 0
+    for hl, wl in shapes:
+        flops += 2 * np_ * hl * wl * C          # corr recompute
+        flops += 2 * np_ * TILE_P * wl * hl     # scol contraction
+        flops += 2 * np_ * TILE_P * TILE_P * hl  # srow contraction
+
+    out = pl.pallas_call(
+        functools.partial(
+            _alt_corr_kernel, shapes=shapes, tq=tile, n=n,
+            sel_dtype=sel_dtype, out_dtype=out_dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, 1, 1), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1, 1), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, hl, wl, C), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for hl, wl in shapes
+        ],
+        out_specs=pl.BlockSpec((1, tile, TILE_P, L * TILE_P),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, np_, TILE_P, L * TILE_P),
+                                       out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=B * flops,
+            bytes_accessed=(f1.size + sum(f.size for f in f2_levels))
+            * f1.dtype.itemsize
+            + B * np_ * TILE_P * L * TILE_P
+            * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        # f32 corrH + its bf16 transposed copy + the broadcast f1 tile for
+        # level 0 exceed the 16 MB default scoped-vmem limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(cy, cx, f1, *f2_levels)
+
+    return out[:, :N]
+
+
+def pool_fmap_levels(f2: Array, num_levels: int) -> list[Array]:
+    """Pooled fmap2 pyramid: level l is f2 avg-pooled by 2^l with the exact
+    floor semantics of corr_pyramid/F.avg_pool2d (odd trailing row/col
+    dropped).  By linearity of the correlation in f2, correlating against
+    pooled features equals pooling the correlation volume's target dims
+    (models/raft/corr.py:57-64)."""
+    levels = [f2]
+    x = f2
+    for _ in range(num_levels - 1):
+        B, H, W, C = x.shape
+        h2, w2 = H // 2, W // 2
+        x = x[:, : 2 * h2, : 2 * w2]
+        rows = x[:, 0::2] + x[:, 1::2]
+        x = (rows[:, :, 0::2] + rows[:, :, 1::2]) * jnp.asarray(0.25, x.dtype)
+        levels.append(x)
+    return levels
+
+
+def alt_corr_features(
+    fmap1: Array,
+    fmap2: Array,
+    coords: Array,
+    num_levels: int = 4,
+    radius: int = 4,
+    compute_dtype=None,
+    padded: bool = False,
+    interpret: bool = False,
+) -> Array:
+    """Fused correlation-pyramid lookup straight from feature maps.
+
+    fmap1, fmap2: (B, H, W, C) f32.  coords: (B, H, W, 2) level-0 (x, y)
+    lookup centers.  Value-equal to
+    ``corr_lookup(corr_pyramid(all_pairs_correlation(f1, f2)), coords)``
+    (models/raft/corr.py:26-106) without ever materializing the volume.
+
+    padded=False returns the reference-compact ``(B, H, W, L*(2r+1)^2)``.
+    padded=True returns ``(B, H, W, 16*L*16)`` with the levels' windows
+    lane-stacked: channel = t*(L*16) + l*16 + s (indices past 2r+1 carry
+    live padding samples the consumer weights by zero) — the layout the
+    fused RAFT motion encoder consumes directly (one tile-aligned reshape,
+    no relayout).
+    """
+    B, H, W, C = fmap1.shape
+    N = H * W
+    n = 2 * radius + 1
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(C, jnp.float32))
+    f1 = (fmap1.astype(jnp.float32) * scale).reshape(B, N, C)
+    f2 = fmap2.astype(jnp.float32)
+    if compute_dtype is not None:
+        f1 = f1.astype(compute_dtype)
+    levels = pool_fmap_levels(f2, num_levels)
+    if compute_dtype is not None:
+        levels = [l.astype(compute_dtype) for l in levels]
+
+    cflat = coords.reshape(B, N, 2).astype(jnp.float32)
+    stacked = alt_lookup(f1, tuple(levels), cflat, radius,
+                         interpret=interpret)  # (B, N, P, L*P)
+    if padded:
+        # channel = t * (L*16) + l*16 + s: one tile-aligned reshape.
+        # Keeps the kernel's compute dtype (bf16 in production) — the
+        # consuming 1x1 conv runs bf16 anyway, and f32-inflating 1 GB/iter
+        # of corr features would double the relayout traffic.
+        return stacked.reshape(B, H, W, TILE_P * num_levels * TILE_P)
+    out = []
+    for lvl in range(num_levels):
+        patch = stacked[:, :, :n, lvl * TILE_P:lvl * TILE_P + n]
+        # (B, N, t, s) -> s-major (reference channel order, corr.py:79-85);
+        # the tiny-dim transpose is a relayout XLA pays ~1.8 ms/iteration
+        # for at KITTI geometry — production uses the padded layout instead
+        patch = patch.transpose(0, 1, 3, 2)
+        out.append(patch.reshape(B, H, W, n * n))
+    return jnp.concatenate(out, axis=-1).astype(coords.dtype)
