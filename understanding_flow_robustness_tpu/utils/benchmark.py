@@ -27,8 +27,12 @@ from jax import lax
 
 
 def timed_loop(fn: Callable, args: Sequence, n: int = 10,
-               repeats: int = 2) -> float:
-    """Average seconds per on-device evaluation of fn(*args)."""
+               repeats: int = 3) -> float:
+    """Median seconds per on-device evaluation of fn(*args).
+
+    Median, not min: each sample is a DIFFERENCE of two wall times, so
+    runtime jitter can make a sample arbitrarily *small* as easily as
+    large (a min once reported a 19 ms FlowNetC batch as 0.75 ms)."""
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def run(steps, eps, *args):
@@ -45,7 +49,7 @@ def timed_loop(fn: Callable, args: Sequence, n: int = 10,
     float(run(1, jnp.float32(0.0), *args))
     float(run(1 + n, jnp.float32(0.0), *args))
 
-    best = float("inf")
+    samples = []
     for r in range(repeats):
         eps1 = jnp.float32(1e-12 * (r + 1))
         epsn = jnp.float32(1e-12 * (r + 101))
@@ -55,5 +59,6 @@ def timed_loop(fn: Callable, args: Sequence, n: int = 10,
         t0 = time.perf_counter()
         float(run(1 + n, epsn, *args))
         dtn = time.perf_counter() - t0
-        best = min(best, (dtn - dt1) / n)
-    return max(best, 1e-9)
+        samples.append((dtn - dt1) / n)
+    samples.sort()
+    return max(samples[len(samples) // 2], 1e-9)
