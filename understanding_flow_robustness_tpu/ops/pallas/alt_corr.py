@@ -69,7 +69,8 @@ def _hat_selector(c, extent, tq, sel_dtype):
     ops/correlation.alt_corr_features docstring)."""
     gg = lax.broadcasted_iota(jnp.int32, (tq, TILE_P, extent), 2).astype(
         jnp.float32)
-    jj = lax.broadcasted_iota(jnp.int32, (tq, TILE_P, extent), 1).astype(
+    # c + j built at (tq, P, 1) so the add never touches the full extent
+    jj = lax.broadcasted_iota(jnp.int32, (tq, TILE_P, 1), 1).astype(
         jnp.float32)
     hat = jnp.maximum(1.0 - jnp.abs(gg - (c + jj)), 0.0)
     return hat.astype(sel_dtype)
