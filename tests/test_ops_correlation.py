@@ -209,33 +209,6 @@ def test_corr_lookup_mxu_grad():
     assert all(np.isfinite(np.asarray(x)).all() for x in g)
 
 
-def test_corr_lookup_pallas_matches_gather():
-    """Experimental Pallas lookup kernel: exact vs the gather formulation
-    (runs in Mosaic interpret mode off-TPU)."""
-    jax_backend = jax.default_backend()
-    if jax_backend != "tpu":
-        pytest.skip("pallas TPU kernel (interpret mode diverges on rolls)")
-    from understanding_flow_robustness_tpu.ops.pallas.corr_lookup_kernel import (
-        corr_lookup_pallas,
-        pad_pyramid_for_lookup,
-    )
-
-    B, H, W, C = 1, 16, 32, 16
-    f1 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
-    f2 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
-    corr0 = ops.all_pairs_correlation(f1, f2)
-    pyr = ops.corr_pyramid(corr0, 4)
-    coords = np.asarray(ops.coords_grid(H, W))[None] + RNG.randn(
-        B, H, W, 2
-    ).astype(np.float32) * 3
-    coords[0, 0, 0] = [-50, -50]
-    coords[0, 0, 1] = [500, 500]
-    coords = jnp.asarray(coords)
-    ref = ops.corr_lookup(pyr, coords, 4, impl="gather")
-    got = corr_lookup_pallas(pad_pyramid_for_lookup(pyr, 4), coords, 4)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
-
-
 def test_corr_lookup_fused_interpret_matches_gather():
     """Production fused Pallas lookup (ops/pallas/corr_lookup_fused.py) vs
     the gather formulation, in Mosaic interpret mode so it runs on CPU.
