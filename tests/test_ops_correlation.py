@@ -368,3 +368,21 @@ def test_raft_alt_corr_matches_volume_on_tpu():
     fa = np.asarray(ma.module.apply(mv.variables, img1 * 255.0,
                                     img2 * 255.0, test_mode=True)[1])
     assert np.abs(fa - fv).max() < 0.05 * np.abs(fv).max()
+
+def test_alt_corr_features_odd_levels_interpret():
+    """Odd feature-map dims: pooling floors (odd trailing row/col dropped,
+    F.avg_pool2d semantics) must keep the fused path value-equal to the
+    explicit volume pyramid at every level."""
+    B, H, W, C = 1, 20, 28, 8  # levels (20,28) (10,14) (5,7) (2,3)
+    f1 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    coords = np.asarray(ops.coords_grid(H, W))[None] + RNG.randn(
+        B, H, W, 2
+    ).astype(np.float32) * 2
+    coords = jnp.asarray(coords.astype(np.float32))
+    corr0 = ops.all_pairs_correlation(f1, f2)
+    pyr = ops.corr_pyramid(corr0, 4)
+    ref = np.asarray(ops.corr_lookup(pyr, coords, 4, impl="gather"))
+    got = np.asarray(
+        ops.alt_corr_features(f1, f2, coords, 4, 4, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
