@@ -63,13 +63,15 @@ def main():
 
     # --- headline: RAFT-12 inference (fused on-demand corr lookup) ---
     raft = fetch_model("RAFT", pretrained_path=None, init_size=(128, 128))
-    dt = timed_loop(lambda a, b: raft.predict(a, b), (img1, img2), n=ITERS)
+    dt = timed_loop(lambda a, b, v: raft.predict_fn(v, a, b),
+                    (img1, img2, raft.variables), n=ITERS)
     raft_pairs = BATCH / dt
 
     # --- FlowNetC inference at KITTI-2012 eval geometry ---
     # (fast model: longer loop so the differencing noise stays small)
     fnc = fetch_model("FlowNetC", pretrained_path=None, init_size=(128, 128))
-    dt = timed_loop(lambda a, b: fnc.predict(a, b), (img1, img2), n=60)
+    dt = timed_loop(lambda a, b, v: fnc.predict_fn(v, a, b),
+                    (img1, img2, fnc.variables), n=60)
     fnc_pairs = BATCH / dt
 
     # --- patch-attack inner loop: jitted fwd+bwd steps, batch 1 ---

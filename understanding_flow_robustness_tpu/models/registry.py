@@ -127,11 +127,40 @@ class FlowModel:
     variables: dict
     is_raft: bool
     size_multiple: int
+    _predict_jit: Any = None
 
     def predict(self, img1: Array, img2: Array, overrides=None):
         """Uniform inference (models/utils_model.py:627-681): images in
-        [0, 1] NHWC; returns flow at the model's native output resolution."""
-        return predict_flow(self, img1, img2, overrides=overrides)
+        [0, 1] NHWC; returns flow at the model's native output resolution.
+
+        Runs through a cached jit that takes ``variables`` as a TRACED
+        argument — closing over them would bake every parameter into the
+        program as an inline literal (650 MB of HLO constants for
+        FlowNet2, which overflows compiler request limits and slows every
+        compile)."""
+        if overrides is not None:
+            return predict_flow(self, img1, img2, overrides=overrides)
+        if self._predict_jit is None:
+            object.__setattr__(self, "_predict_jit", jax.jit(self.predict_fn))
+        return self._predict_jit(self.variables, img1, img2)
+
+    @property
+    def predict_fn(self) -> Callable:
+        """``fn(variables, img1, img2) -> flow`` with variables as an
+        explicit argument — use this (not ``predict``) inside any outer
+        jit/benchmark so the parameters stay traced arguments instead of
+        inlined program constants."""
+        module, is_raft = self.module, self.is_raft
+
+        def _run(variables, a, b):
+            if is_raft:
+                _, flow_up = module.apply(
+                    variables, a * 255.0, b * 255.0, test_mode=True
+                )
+                return flow_up
+            return module.apply(variables, a, b)
+
+        return _run
 
     def apply_train(self, variables, img1, img2, **kw):
         if self.is_raft:
