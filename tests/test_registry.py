@@ -45,3 +45,19 @@ def test_raft_predict_full_res():
     flow = model.predict(x1, x2)
     assert flow.shape == (1, 128, 128, 2)
     assert np.isfinite(np.asarray(flow)).all()
+
+def test_predict_program_keeps_variables_as_arguments():
+    """Guard against jit-closing over model.variables: parameters must be
+    traced arguments, not inline HLO literals.  (FlowNet2's 162M params
+    once produced 650 MB of inline constants and overflowed the remote
+    TPU compiler's request limit — PERF.md 'Program size'.)"""
+    import jax
+
+    from understanding_flow_robustness_tpu.models import fetch_model
+
+    m = fetch_model("FlowNetC", pretrained_path=None, init_size=(64, 64))
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    lowered = jax.jit(m.predict_fn).lower(m.variables, img, img)
+    text_mb = len(lowered.as_text()) / 1e6
+    # 39M f32 params would be ~300 MB of hex literals if inlined
+    assert text_mb < 10, f"predict program is {text_mb:.1f} MB of HLO"
