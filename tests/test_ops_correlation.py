@@ -386,3 +386,44 @@ def test_alt_corr_features_odd_levels_interpret():
     got = np.asarray(
         ops.alt_corr_features(f1, f2, coords, 4, 4, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+@pytest.mark.parametrize("padded", [False, True])
+def test_alt_corr_pallas_backward_matches_reference_vjp(padded):
+    """Dedicated volume-free backward kernel (alt_lookup_bwd + the
+    derivative-selector dcoords passes) vs the jnp reference VJP, in
+    interpret mode on CPU.  Padded-mode cotangents carry zeros at the
+    window-padding positions, as both real consumers guarantee."""
+    from understanding_flow_robustness_tpu.ops.correlation import (
+        _alt_corr_bwd_pallas,
+        _alt_corr_reference,
+    )
+
+    B, H, W, C = 2, 16, 24, 16
+    f1 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    coords = np.asarray(ops.coords_grid(H, W))[None] + RNG.randn(
+        B, H, W, 2
+    ).astype(np.float32) * 3
+    coords[0, 0, 0] = [-50, -50]
+    coords[0, 0, 1] = [500, 500]
+    coords[0, 0, 2] = [-3.5, -3.5]
+    coords = jnp.asarray(coords.astype(np.float32))
+
+    out, vjp = jax.vjp(
+        lambda a, b, c: _alt_corr_reference(a, b, c, 4, 4, None, padded),
+        f1, f2, coords,
+    )
+    if padded:
+        g5 = RNG.randn(B, H, W, 16, 4, 16).astype(np.float32)
+        g5[..., 9:, :, :] = 0
+        g5[..., :, :, 9:] = 0
+        g = jnp.asarray(g5.reshape(out.shape))
+    else:
+        g = jnp.asarray(RNG.randn(*out.shape).astype(np.float32))
+    ref = vjp(g)
+    got = _alt_corr_bwd_pallas(
+        f1, f2, coords, g, 4, 4, None, padded, interpret=True
+    )
+    for r, o in zip(ref, got):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), atol=2e-4)

@@ -479,6 +479,11 @@ def _alt_corr_fwd(fmap1, fmap2, coords, num_levels, radius, compute_dtype,
 def _alt_corr_bwd(num_levels, radius, compute_dtype, padded, interpret,
                   res, g):
     fmap1, fmap2, coords = res
+    if jax.default_backend() == "tpu" and not interpret:
+        return _alt_corr_bwd_pallas(
+            fmap1, fmap2, coords, g, num_levels, radius, compute_dtype,
+            padded,
+        )
     _, vjp = jax.vjp(
         lambda a, b, c: _alt_corr_reference(
             a, b, c, num_levels, radius, compute_dtype, padded
@@ -486,6 +491,74 @@ def _alt_corr_bwd(num_levels, radius, compute_dtype, padded, interpret,
         fmap1, fmap2, coords,
     )
     return vjp(g)
+
+
+def _alt_corr_bwd_pallas(fmap1, fmap2, coords, g, num_levels, radius,
+                         compute_dtype, padded, interpret=False):
+    """Volume-free backward: f1/f2 cotangents via the dedicated Pallas
+    kernel (ops/pallas/alt_corr.py::alt_lookup_bwd) and the coordinate
+    cotangent via two derivative-selector forward passes — the bilinear
+    weight's dc-derivative is itself a separable selector, so
+    d(out)/d(cx) is just the forward lookup with scol' = sign-hats."""
+    from .pallas.alt_corr import (
+        TILE_P,
+        alt_lookup,
+        alt_lookup_bwd,
+        pool_fmap_levels,
+    )
+
+    B, H, W, C = fmap1.shape
+    N = H * W
+    n = 2 * radius + 1
+    P = TILE_P
+    L = num_levels
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(C, jnp.float32))
+    f1 = (fmap1.astype(jnp.float32) * scale).reshape(B, N, C)
+    f2f = fmap2.astype(jnp.float32)
+    if compute_dtype is not None:
+        f1 = f1.astype(compute_dtype)
+    levels_f32, pool_vjp = jax.vjp(
+        lambda f: tuple(pool_fmap_levels(f, L)), f2f
+    )
+    levels = tuple(
+        l.astype(compute_dtype) if compute_dtype is not None else l
+        for l in levels_f32
+    )
+    cflat = coords.reshape(B, N, 2).astype(jnp.float32)
+
+    # cotangent back into the kernel's lane-stacked (t, s) layout
+    if padded:
+        g_stacked = g.reshape(B, N, P, L * P)
+    else:
+        gs = jnp.zeros((B, N, P, L, P), jnp.float32)
+        for lvl in range(L):
+            gl = g[..., lvl * n * n:(lvl + 1) * n * n].reshape(B, N, n, n)
+            gl = jnp.transpose(gl, (0, 1, 3, 2))  # (s, t) -> (t, s)
+            gs = gs.at[:, :, :n, lvl, :n].set(gl.astype(jnp.float32))
+        g_stacked = gs.reshape(B, N, P, L * P)
+    gk = g_stacked.astype(f1.dtype)
+
+    df1, dlevels = alt_lookup_bwd(f1, levels, cflat, gk, radius,
+                                  interpret=interpret)
+    dfmap1 = (df1 * scale).reshape(B, H, W, C).astype(fmap1.dtype)
+    dfmap2 = pool_vjp(tuple(d.astype(jnp.float32) for d in dlevels))[0]
+    dfmap2 = dfmap2.astype(fmap2.dtype)
+
+    # dcoords: derivative-selector forward passes; level l contributes
+    # with the 1/2^l chain factor of coords -> coords/2^l
+    lv_w = (1.0 / 2 ** jnp.arange(L, dtype=jnp.float32))[None, None, None,
+                                                         :, None]
+    g5 = g_stacked.astype(jnp.float32).reshape(B, N, P, L, P) * lv_w
+    outdx = alt_lookup(f1, levels, cflat, radius, interpret=interpret,
+                       deriv="x").astype(jnp.float32).reshape(B, N, P, L, P)
+    outdy = alt_lookup(f1, levels, cflat, radius, interpret=interpret,
+                       deriv="y").astype(jnp.float32).reshape(B, N, P, L, P)
+    dcx = jnp.sum(g5 * outdx, axis=(2, 3, 4))
+    dcy = jnp.sum(g5 * outdy, axis=(2, 3, 4))
+    dcoords = jnp.stack([dcx, dcy], axis=-1).reshape(B, H, W, 2).astype(
+        coords.dtype)
+    return dfmap1, dfmap2, dcoords
 
 
 _alt_corr_vjp.defvjp(_alt_corr_fwd, _alt_corr_bwd)

@@ -59,25 +59,33 @@ Array = jax.Array
 TILE_P = 16
 
 
-def _hat_selector(c, extent, tq, sel_dtype):
+def _hat_selector(c, extent, tq, sel_dtype, deriv=False):
     """(tq, P, extent) separable bilinear selector for window top-left c
     ((tq, 1, 1) f32): row j holds relu(1 - |grid - (c + j)|).  Rows
     j >= 2r+1 are window-tile padding; they carry live hat weights (an
     extra VPU mask costs more than it saves) — consumers either slice them
     off (compact layout) or multiply them by zero weights (the padded
     motion-encoder conv scatters the reference kernel into a zero matrix,
-    ops/correlation.alt_corr_features docstring)."""
+    ops/correlation.alt_corr_features docstring).
+
+    deriv=True returns d(hat)/dc = sign(grid - (c + j)) on the open support
+    |grid - (c + j)| < 1 (the a.e. derivative of the bilinear weight, used
+    by the coordinate gradient)."""
     gg = lax.broadcasted_iota(jnp.int32, (tq, TILE_P, extent), 2).astype(
         jnp.float32)
     # c + j built at (tq, P, 1) so the add never touches the full extent
     jj = lax.broadcasted_iota(jnp.int32, (tq, TILE_P, 1), 1).astype(
         jnp.float32)
-    hat = jnp.maximum(1.0 - jnp.abs(gg - (c + jj)), 0.0)
+    diff = gg - (c + jj)
+    if deriv:
+        hat = jnp.sign(diff) * ((diff > -1.0) & (diff < 1.0))
+    else:
+        hat = jnp.maximum(1.0 - jnp.abs(diff), 0.0)
     return hat.astype(sel_dtype)
 
 
 def _alt_corr_kernel(cy_ref, cx_ref, f1_ref, *rest, shapes, tq, n,
-                     sel_dtype, out_dtype):
+                     sel_dtype, out_dtype, deriv="none"):
     """All pyramid levels for one query tile.  Per level l:
       corr[q, h, w] = sum_c f1[q, c] * f2_l[h, w, c]      (MXU, dense)
       scol[q, s, w] = relu(1 - |w - (cx[q]/2^l - r + s)|)  (VPU hats)
@@ -115,8 +123,8 @@ def _alt_corr_kernel(cy_ref, cx_ref, f1_ref, *rest, shapes, tq, n,
         )  # (Hl, tq, Wl)
         corr = jnp.transpose(corrH, (1, 0, 2)).astype(sel_dtype)
 
-        scol = _hat_selector(cx, wl, tq, sel_dtype)
-        srow = _hat_selector(cy, hl, tq, sel_dtype)
+        scol = _hat_selector(cx, wl, tq, sel_dtype, deriv=(deriv == "x"))
+        srow = _hat_selector(cy, hl, tq, sel_dtype, deriv=(deriv == "y"))
 
         if hl > TILE_P:
             # M = hl on the MXU (3x the utilization of M = 16 at level 0)
@@ -152,11 +160,11 @@ def _alt_corr_kernel(cy_ref, cx_ref, f1_ref, *rest, shapes, tq, n,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "tile", "interpret")
+    jax.jit, static_argnames=("radius", "tile", "interpret", "deriv")
 )
 def alt_lookup(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
                radius: int, tile: int = 256,
-               interpret: bool = False) -> Array:
+               interpret: bool = False, deriv: str = "none") -> Array:
     """Fused lookup over all pyramid levels in one kernel.
 
     f1: (B, N, C) query features, pre-scaled by 1/sqrt(C) (bf16
@@ -195,7 +203,7 @@ def alt_lookup(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
     out = pl.pallas_call(
         functools.partial(
             _alt_corr_kernel, shapes=shapes, tq=tile, n=n,
-            sel_dtype=sel_dtype, out_dtype=out_dtype,
+            sel_dtype=sel_dtype, out_dtype=out_dtype, deriv=deriv,
         ),
         grid=grid,
         in_specs=[
@@ -307,3 +315,146 @@ def alt_corr_features(
         patch = patch.transpose(0, 1, 3, 2)
         out.append(patch.reshape(B, H, W, n * n))
     return jnp.concatenate(out, axis=-1).astype(coords.dtype)
+
+
+def _alt_corr_bwd_kernel(cy_ref, cx_ref, f1_ref, g_ref, *rest, shapes, tq,
+                         n, sel_dtype):
+    """Backward for the fused lookup, f1/f2 cotangents.
+
+    Given the output cotangent g (tq, P, L*P), each level folds it into a
+    per-query window-weight image U = srow^T g scol (two small batched
+    dots), after which
+      df1[q, c] += sum_{h,w} U[q,h,w] * f2_l[h,w,c]   (hl-batched MXU)
+      df2_l[h,w,c] += sum_q U[q,h,w] * f1[q,c]        (hl-batched MXU)
+    df2 accumulates across the query-tile grid into a revisited block.
+    The volume is never materialized — same property as the forward.
+    """
+    L = len(shapes)
+    f2_refs = rest[:L]
+    df1_ref = rest[L]
+    df2_refs = rest[L + 1:]
+    f1t = f1_ref[0]  # (tq, C)
+    C = f1t.shape[1]
+    prec = None if sel_dtype == jnp.bfloat16 else lax.Precision.HIGHEST
+    cy0 = cy_ref[0]
+    cx0 = cx_ref[0]
+
+    df1_acc = jnp.zeros((tq, C), jnp.float32)
+    for lvl, (hl, wl) in enumerate(shapes):
+        inv = 1.0 / (2 ** lvl)
+        cy = jnp.clip(cy0 * inv - n // 2, -2.0 * TILE_P, hl + 2.0)
+        cx = jnp.clip(cx0 * inv - n // 2, -2.0 * TILE_P, wl + 2.0)
+        scol = _hat_selector(cx, wl, tq, sel_dtype)
+        srow = _hat_selector(cy, hl, tq, sel_dtype)
+
+        g_l = g_ref[0][:, :, lvl * TILE_P:(lvl + 1) * TILE_P].astype(
+            sel_dtype)  # (tq, P[t], P[s])
+        tmp = lax.dot_general(
+            g_l, scol,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(sel_dtype)  # (tq, P[t], Wl)
+        U = lax.dot_general(
+            srow, tmp,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(sel_dtype)  # (tq, Hl, Wl)
+        Uh = jnp.transpose(U, (1, 0, 2))  # (Hl, tq, Wl)
+
+        t1 = lax.dot_general(
+            Uh, f2_refs[lvl][0],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (Hl, tq, C)
+        df1_acc = df1_acc + jnp.sum(t1, axis=0)
+
+        f1e = jnp.broadcast_to(f1t[None], (hl, tq, C))
+        d2 = lax.dot_general(
+            Uh, f1e,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (Hl, Wl, C)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            df2_refs[lvl][0] = d2
+
+        @pl.when(pl.program_id(1) > 0)
+        def _():
+            df2_refs[lvl][0] = df2_refs[lvl][0] + d2
+
+    df1_ref[0] = df1_acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "tile", "interpret")
+)
+def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
+                   g: Array, radius: int, tile: int = 128,
+                   interpret: bool = False):
+    """f1/f2 cotangents of ``alt_lookup``.
+
+    g: (B, N, P, L*P) cotangent in the forward's lane-stacked layout
+    (entries at window positions >= 2r+1 must be zero — they are, for both
+    real consumers).  Returns (df1 (B, N, C) f32, [df2_l (B, Hl, Wl, C)
+    f32 per level]).
+    """
+    n = 2 * radius + 1
+    B, N, C = f1.shape
+    shapes = tuple((f.shape[1], f.shape[2]) for f in f2_levels)
+    L = len(shapes)
+
+    padn = (-N) % tile
+    if padn:
+        f1 = jnp.pad(f1, ((0, 0), (0, padn), (0, 0)))
+        coords = jnp.pad(coords, ((0, 0), (0, padn), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, padn), (0, 0), (0, 0)))
+    np_ = f1.shape[1]
+
+    cx = coords[..., 0].astype(jnp.float32)[..., None, None]
+    cy = coords[..., 1].astype(jnp.float32)[..., None, None]
+    sel_dtype = f1.dtype if f1.dtype == jnp.bfloat16 else jnp.float32
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _alt_corr_bwd_kernel, shapes=shapes, tq=tile, n=n,
+            sel_dtype=sel_dtype,
+        ),
+        grid=(B, np_ // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, 1, 1), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1, 1), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, TILE_P, L * TILE_P),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, hl, wl, C), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for hl, wl in shapes
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, hl, wl, C), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for hl, wl in shapes
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, np_, C), jnp.float32),
+        ] + [
+            jax.ShapeDtypeStruct((B,) + sh + (C,), jnp.float32)
+            for sh in shapes
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(cy, cx, f1, g, *f2_levels)
+
+    df1 = outs[0][:, :N]
+    return df1, list(outs[1:])
