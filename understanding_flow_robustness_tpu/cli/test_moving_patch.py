@@ -29,6 +29,10 @@ def build_parser():
     p.description = __doc__
     p.add_argument("--stride", type=int, default=25)
     p.add_argument("--ignore_mask_flow", action="store_true")
+    p.add_argument("--whole_img", type=float, default=0.0,
+                   help="non-zero: the loaded patch/mask are already "
+                        "full-image canvases; skip placement "
+                        "(test_moving_patch.py:63-68,307-343)")
     return p
 
 
@@ -73,10 +77,17 @@ def main(argv=None):
 
         for yi, ry in enumerate(range(0, H - m_size, args.stride)):
             for xi, rx in enumerate(range(0, W - m_size, args.stride)):
-                pc, mc, _, _, _, _ = circle_transform(
-                    patch.copy(), mask, patch.copy(), tgt.shape, patch_shape,
-                    norotate=True, fixed_loc=(rx, ry), moving=True,
-                )
+                if args.whole_img == 0:
+                    # reference passes args.norotate (default False): swept
+                    # patches rotate randomly per location
+                    # (test_moving_patch.py:308-343, utils_patch.py:289-296)
+                    pc, mc, _, _, _, _ = circle_transform(
+                        patch.copy(), mask, patch.copy(), tgt.shape,
+                        patch_shape, norotate=args.norotate,
+                        fixed_loc=(rx, ry), moving=True,
+                    )
+                else:
+                    pc, mc = patch, mask
                 adv_tgt = np.clip((1 - mc) * tgt + mc * pc, 0, 1).astype(
                     np.float32
                 )

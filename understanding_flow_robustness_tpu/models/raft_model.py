@@ -3,12 +3,16 @@
 Reference: models/raft/raft.py (233), extractor.py (391), update.py (162),
 corr.py (137).  Key TPU redesigns vs. the reference:
 
-* the 12-iteration ConvGRU refinement runs as a ``lax.scan`` over the GRU
-  state (one trace, one compile) instead of a Python loop
+* the 12-iteration ConvGRU refinement is deliberately unrolled (see the
+  rationale at the loop itself): XLA shares/fuses the iteration bodies,
+  and training losses / feature taps need per-iteration flows anyway
   (models/raft/raft.py:187-220);
-* the all-pairs correlation volume is one big MXU matmul
-  (models/raft/corr.py:98-106) and the radius-4 pyramid lookup is a batched
-  gather (ops.corr_lookup);
+* the default TPU correlation path never materializes the all-pairs
+  volume: a fused Pallas kernel recomputes correlation rows on-demand
+  per query tile (ops/pallas/alt_corr.py, the TPU alt_cuda_corr); the
+  volume formulation (one big MXU matmul, models/raft/corr.py:98-106,
+  plus a selector-matmul lookup in ops.corr_lookup) remains for the
+  spatial-corr / feature-tap modes and as the cross-check reference;
 * mixed precision (torch autocast, raft.py:10-22) becomes an explicit
   bf16 compute dtype on the conv stacks with f32 correlation/flow math.
 
