@@ -381,3 +381,124 @@ def test_patch_attack_trajectory_parity(setup):
         np.testing.assert_allclose(
             np.asarray(adv_ref_o), ro.nhwc(adv_ref_r.detach()), atol=5e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# Universal perturbation: trajectory parity vs the EXECUTED reference
+# global_attacks/universal_perturbation.py::attack (:452-530)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def up_module(setup):
+    """Import the reference universal-perturbation script (it parses argv at
+    module level, :158 — shield it)."""
+    import sys
+
+    old_argv = sys.argv
+    sys.argv = ["universal_perturbation.py"]
+    try:
+        import global_attacks.universal_perturbation as up
+    finally:
+        sys.argv = old_argv
+    return up
+
+
+def _universal_case(setup, up, method, add_gaussian, n_step, mode="both"):
+    from understanding_flow_robustness_tpu.attacks.universal import (
+        UniversalConfig,
+        make_universal_attack_step,
+    )
+
+    pm, net, predict, img0, img1, gt = setup
+    rng = np.random.RandomState(13)
+    noise0 = ((rng.rand(1, H, W, 3) - 0.5) * 0.04).astype(np.float32)
+    noise1 = ((rng.rand(1, H, W, 3) - 0.5) * 0.04).astype(np.float32)
+    # add_gaussian flips the loop to ASCENT toward a noisy clean-flow target
+    # (:518-520); both frameworks receive the identical explicit target.
+    target = rng.randn(1, H, W, 2).astype(np.float32)
+
+    args = Namespace(
+        n_step=n_step, perturb_method=method, perturb_mode=mode,
+        learning_rate=2e-3, add_gaussian=add_gaussian, output_norm=0.02,
+        flow_loss="l2", flownet="tiny", return_feat_maps=False,
+    )
+    upert = torch.stack([ro.nchw(noise0), ro.nchw(noise1)], dim=1)
+    adv0_r, _, adv1_r, pert_r = up.attack(
+        net, ro.nchw(img0), ro.nchw(img1), upert, ro.nchw(target), args
+    )
+
+    cfg = UniversalConfig(
+        perturb_method=method, perturb_mode=mode, output_norm=0.02,
+        n_step=n_step, learning_rate=2e-3, flow_loss="l2",
+        add_gaussian=add_gaussian,
+    )
+    attack = make_universal_attack_step(predict, cfg)
+    adv0_o, adv1_o, n0_o, n1_o = attack(
+        jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(noise0),
+        jnp.asarray(noise1), jnp.asarray(target),
+    )
+
+    ours = (np.asarray(adv0_o), np.asarray(adv1_o),
+            np.asarray(n0_o), np.asarray(n1_o))
+    refs = (ro.nhwc(adv0_r.detach()), ro.nhwc(adv1_r.detach()),
+            ro.nhwc(pert_r[:, 0].detach()), ro.nhwc(pert_r[:, 1].detach()))
+    _assert_traj_close(ours, refs, 2e-3, sign_method=("ifgsm" in method))
+
+
+@pytest.mark.parametrize("method", ["ifgsm", "ifgm"])
+@pytest.mark.parametrize("add_gaussian", [False, True])
+def test_universal_attack_parity(setup, up_module, method, add_gaussian):
+    # n_step probes the trajectory: deterministic loop, so the step-k noise
+    # IS trajectory point k
+    for n_step in (1, 2, 5):
+        _universal_case(setup, up_module, method, add_gaussian, n_step)
+
+
+@pytest.mark.parametrize("mode", ["left", "right"])
+def test_universal_attack_parity_modes(setup, up_module, mode):
+    _universal_case(setup, up_module, "ifgsm", False, 3, mode=mode)
+
+
+def test_universal_train_accumulation_parity(setup, up_module):
+    """Cross-batch accumulation semantics (:354-449): the shared noise pair
+    carries between batches; target = -clean_flow per batch."""
+    from understanding_flow_robustness_tpu.attacks.universal import (
+        UniversalConfig,
+        make_universal_attack_step,
+        train_universal_perturbation,
+    )
+
+    pm, net, predict, img0, img1, gt = setup
+    up = up_module
+    rng = np.random.RandomState(29)
+    batches = [
+        (rng.rand(1, H, W, 3).astype(np.float32),
+         rng.rand(1, H, W, 3).astype(np.float32))
+        for _ in range(3)
+    ]
+
+    args = Namespace(
+        n_step=3, perturb_method="ifgm", perturb_mode="both",
+        learning_rate=2e-3, add_gaussian=False, output_norm=0.02,
+        flow_loss="l2", flownet="tiny", return_feat_maps=False,
+    )
+    pert = torch.zeros(1, 2, 3, H, W)
+    for a, b in batches:
+        with torch.no_grad():
+            flow = net(ro.nchw(a), ro.nchw(b))
+        _, _, _, pert = up.attack(
+            net, ro.nchw(a), ro.nchw(b), pert, -1.0 * flow, args
+        )
+
+    cfg = UniversalConfig(perturb_method="ifgm", perturb_mode="both",
+                          output_norm=0.02, n_step=3, learning_rate=2e-3,
+                          flow_loss="l2", add_gaussian=False)
+    attack = make_universal_attack_step(predict, cfg)
+    predict_jit = jax.jit(predict)
+    n0, n1 = train_universal_perturbation(
+        predict_jit, attack, lambda: iter(batches), (1, H, W, 3), cfg,
+        epochs=1,
+    )
+    np.testing.assert_allclose(n0, ro.nhwc(pert[:, 0]), atol=5e-5, rtol=1e-3)
+    np.testing.assert_allclose(n1, ro.nhwc(pert[:, 1]), atol=5e-5, rtol=1e-3)
