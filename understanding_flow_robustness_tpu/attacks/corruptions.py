@@ -1,14 +1,34 @@
 """Image corruptions (host-side numpy), severity 1-5.
 
-Replaces the ``imagecorruptions`` pip dependency the reference drives
-through PerturbationsModel.__image_corruptions (perturb_model.py:384-418)
-and the deterministic-frost fork (global_attacks/imagecorruptions_frost/
-corruption.py:9-190).  These are the standard Hendrycks & Dietterich
-ImageNet-C corruptions re-implemented on numpy/cv2/scipy; ``frost``
-supports a texture directory (the upstream package's frost photos) and
-falls back to a procedural plasma-fractal frost texture when none is
-available (this environment ships no assets), with the fork's
-deterministic ``idx`` parameter.
+Replaces the ``imagecorruptions`` pip dependency (pinned ``^1.1.2`` in the
+reference's pyproject.toml) the reference drives through
+PerturbationsModel.__image_corruptions (perturb_model.py:384-418) and the
+deterministic-frost fork (global_attacks/imagecorruptions_frost/
+corruption.py:9-190) — that fork is pip 1.1.2's corruption helpers with a
+deterministic-index frost, so it doubles as the executed value oracle for
+the shared helpers (tests/test_corruption_values.py).  These are the
+standard Hendrycks & Dietterich ImageNet-C corruptions re-implemented on
+numpy/cv2/scipy; ``frost`` supports a texture directory (the upstream
+package's frost photos) and falls back to a procedural plasma-fractal
+frost texture when none is available (this environment ships no assets),
+with the fork's deterministic ``idx`` parameter.
+
+Provenance note: ``disk`` and the diamond-square core of
+``plasma_fractal`` follow the canonical public ImageNet-C /
+imagecorruptions algorithms (the same code the reference vendors in its
+frost fork) — they are pinned constants/canonical algorithms, kept
+line-comparable so the oracle tests can be exact.
+
+Known deliberate divergences from pip 1.1.2 (documented, value-tested
+where an oracle exists):
+  * glass_blur's pixel-shuffle runs as one vectorized swap per iteration
+    instead of pip's sequential in-place per-pixel loop (identical
+    distribution, ~1000x faster; sequential swaps interact so exact value
+    parity is impossible without the per-pixel loop);
+  * brightness/saturate use cv2's HSV instead of skimage's (same V/S
+    definitions; float roundoff differs in the last decimals);
+  * jpeg_compression uses cv2's encoder instead of PIL's (codec-level
+    differences inherent to JPEG).
 
 API: ``corrupt(image_uint8_hwc, corruption_name, severity)`` and
 ``get_corruption_names()`` mirroring the pip package.
@@ -96,30 +116,69 @@ def plasma_fractal(mapsize=256, wibbledecay=3, rng=None):
 
 
 def clipped_zoom(img, zoom_factor):
+    """corruption.py:81-95 verbatim semantics: center-crop then scizoom;
+    the result may be a pixel or two off the input size — consumers
+    top-left crop ``[:h, :w]`` and add into the overlapping region, exactly
+    like pip 1.1.2's zoom_blur/snow."""
     from scipy.ndimage import zoom as scizoom
 
     ch0 = int(np.ceil(img.shape[0] / float(zoom_factor)))
     top0 = (img.shape[0] - ch0) // 2
     ch1 = int(np.ceil(img.shape[1] / float(zoom_factor)))
     top1 = (img.shape[1] - ch1) // 2
-    out = scizoom(img[top0 : top0 + ch0, top1 : top1 + ch1],
-                  (zoom_factor, zoom_factor, 1), order=1)
-    # zoomed output may be a pixel off; center-crop/pad to the input size
-    h, w = img.shape[:2]
-    oh, ow = out.shape[:2]
-    sy = max((oh - h) // 2, 0)
-    sx = max((ow - w) // 2, 0)
-    out = out[sy : sy + h, sx : sx + w]
-    if out.shape[:2] != (h, w):
-        out = np.pad(out, ((0, h - out.shape[0]), (0, w - out.shape[1]),
-                           (0, 0)), mode="edge")
-    return out
+    return scizoom(img[top0 : top0 + ch0, top1 : top1 + ch1],
+                   (zoom_factor, zoom_factor, 1), order=1)
 
 
-def _motion_blur_kernel(radius, sigma):
+def motion_blur_kernel(width, sigma):
+    """getMotionBlurKernel (corruption.py:105-108): a HALF-gaussian over
+    [0, width) — tap i weights the i-th step along the motion direction."""
+    k = np.exp(-(np.arange(width) ** 2) / (2.0 * sigma ** 2)) / (
+        np.sqrt(2 * np.pi) * sigma
+    )
+    return k / np.sum(k)
+
+
+def shift_replicate(image, dx, dy):
+    """shift (corruption.py:111-130): roll + edge-replicate the wrapped
+    band.  Works on (H, W) and (H, W, C)."""
+    if dx < 0:
+        shifted = np.roll(image, shift=image.shape[1] + dx, axis=1)
+        shifted[:, dx:] = shifted[:, dx - 1 : dx]
+    elif dx > 0:
+        shifted = np.roll(image, shift=dx, axis=1)
+        shifted[:, :dx] = shifted[:, dx : dx + 1]
+    else:
+        shifted = image
+    if dy < 0:
+        shifted = np.roll(shifted, shift=image.shape[0] + dy, axis=0)
+        shifted[dy:, :] = shifted[dy - 1 : dy, :]
+    elif dy > 0:
+        shifted = np.roll(shifted, shift=dy, axis=0)
+        shifted[:dy, :] = shifted[dy : dy + 1, :]
+    return shifted
+
+
+def _directional_blur(img, radius, sigma, angle):
+    """pip 1.1.2's motion-blur core: accumulate half-gaussian-weighted
+    edge-replicated shifts along the motion direction (the loop in
+    imagecorruptions' motion_blur/snow, built on the fork's
+    getMotionBlurKernel/shift helpers, corruption.py:97-130)."""
+    import math
+
     width = radius * 2 + 1
-    k = np.exp(-(np.arange(width) - radius) ** 2 / (2 * sigma ** 2))
-    return k / k.sum()
+    kernel = motion_blur_kernel(width, sigma)
+    point = (width * np.sin(np.deg2rad(angle)),
+             width * np.cos(np.deg2rad(angle)))
+    hypot = math.hypot(point[0], point[1])
+    blurred = np.zeros_like(img, dtype=np.float32)
+    for i in range(width):
+        dy = -math.ceil(((i * point[0]) / hypot) - 0.5)
+        dx = -math.ceil(((i * point[1]) / hypot) - 0.5)
+        if abs(dy) >= img.shape[0] or abs(dx) >= img.shape[1]:
+            break
+        blurred = blurred + kernel[i] * shift_replicate(img, dx, dy)
+    return blurred
 
 
 def rgb2gray(rgb):
@@ -144,13 +203,15 @@ def shot_noise(x, severity=1):
 
 
 def impulse_noise(x, severity=1):
+    """skimage random_noise(mode='s&p', amount=c) semantics (what pip
+    1.1.2 calls): salt/pepper decided ELEMENTWISE over the full (H, W, C)
+    array — colored impulses, not white/black pixels."""
     c = [0.03, 0.06, 0.09, 0.17, 0.27][severity - 1]
     x = np.asarray(x, np.float64) / 255.0
-    mask = np.random.rand(*x.shape[:2])
-    salt = mask < c / 2
-    pepper = mask > 1 - c / 2
-    x[salt] = 1.0
-    x[pepper] = 0.0
+    flipped = np.random.rand(*x.shape) < c
+    salted = np.random.rand(*x.shape) < 0.5
+    x[flipped & salted] = 1.0
+    x[flipped & ~salted] = 0.0
     return np.clip(x, 0, 1) * 255
 
 
@@ -164,7 +225,7 @@ def gaussian_blur(x, severity=1):
     from scipy.ndimage import gaussian_filter
 
     c = [1, 2, 3, 4, 6][severity - 1]
-    x = gaussian_filter(np.asarray(x, np.float64) / 255.0, sigma=(c, c, 0))
+    x = gaussian_filter(np.asarray(x, np.float64) / 255.0, sigma=(c, c, 0), mode="nearest")
     return np.clip(x, 0, 1) * 255
 
 
@@ -176,7 +237,7 @@ def glass_blur(x, severity=1):
     ][severity - 1]
     x = np.uint8(
         gaussian_filter(np.asarray(x, np.float64) / 255.0,
-                        sigma=(sigma, sigma, 0)) * 255
+                        sigma=(sigma, sigma, 0), mode="nearest") * 255
     )
     h, w = x.shape[:2]
     for _ in range(iterations):
@@ -189,7 +250,7 @@ def glass_blur(x, severity=1):
         x[ys, xs] = x[yp, xp]
         x[yp, xp] = tmp
     return np.clip(
-        gaussian_filter(x / 255.0, sigma=(sigma, sigma, 0)), 0, 1
+        gaussian_filter(x / 255.0, sigma=(sigma, sigma, 0), mode="nearest"), 0, 1
     ) * 255
 
 
@@ -206,24 +267,15 @@ def defocus_blur(x, severity=1):
 
 
 def motion_blur(x, severity=1):
-    import cv2
-
+    """pip 1.1.2 motion_blur: shifted-accumulation along a random angle in
+    [-45, 45] with the half-gaussian kernel (NOT a rotated symmetric line
+    filter — the weights decay with distance along the streak)."""
     radius, sigma = [(10, 3), (15, 5), (15, 8), (15, 12), (20, 15)][
         severity - 1
     ]
-    x = np.asarray(x, np.float64)
+    x = np.asarray(x, np.float32)
     angle = np.random.uniform(-45, 45)
-    k1d = _motion_blur_kernel(radius, sigma)
-    width = k1d.shape[0]
-    kernel = np.zeros((width, width))
-    kernel[width // 2, :] = k1d
-    rot = cv2.getRotationMatrix2D((width / 2 - 0.5, width / 2 - 0.5), angle, 1)
-    kernel = cv2.warpAffine(kernel, rot, (width, width))
-    kernel /= kernel.sum()
-    out = np.stack(
-        [cv2.filter2D(x[:, :, d], -1, kernel) for d in range(3)], -1
-    )
-    return np.clip(out, 0, 255)
+    return np.clip(_directional_blur(x, radius, sigma, angle), 0, 255)
 
 
 def zoom_blur(x, severity=1):
@@ -232,10 +284,13 @@ def zoom_blur(x, severity=1):
         np.arange(1, 1.21, 0.02), np.arange(1, 1.26, 0.02),
         np.arange(1, 1.31, 0.03),
     ][severity - 1]
-    x = (np.asarray(x, np.float64) / 255.0)
+    x = (np.asarray(x) / 255.0).astype(np.float32)
+    h, w = x.shape[:2]
     out = np.zeros_like(x)
     for zf in c:
-        out += clipped_zoom(x, zf)
+        layer = clipped_zoom(x, zf)[:h, :w, :]
+        # pip 1.1.2: top-left crop; a short layer adds into its region
+        out[: layer.shape[0], : layer.shape[1]] += layer
     x = (x + out) / (len(c) + 1)
     return np.clip(x, 0, 1) * 255
 
@@ -270,7 +325,10 @@ def _frost_texture(idx: int, frost_dir: str | None):
                  "frost5.jpg", "frost6.jpg"]
         path = os.path.join(frost_dir, names[idx % len(names)])
         if os.path.exists(path):
-            tex = cv2.imread(path)[..., ::-1].astype(np.float64)
+            # keep the raw uint8 BGR image: the fork resizes in uint8
+            # (quantized) and only reorders channels after the crop
+            # (corruption.py:149-186)
+            tex = cv2.imread(path)
     if tex is None:
         rng = np.random.RandomState(1234 + idx)
         base = plasma_fractal(mapsize=512, wibbledecay=2.2, rng=rng)
@@ -283,31 +341,41 @@ def _frost_texture(idx: int, frost_dir: str | None):
 
 
 def frost(x, severity=1, idx=None, frost_dir=None):
-    """corruption.py:133-186 (deterministic-idx variant used with
-    perturb_mode='same', perturb_model.py:399-417)."""
+    """corruption.py:134-186 (deterministic-idx variant used with
+    perturb_mode='same', perturb_model.py:392-417).
+
+    Quirk parity: the fork's ``idx = idx if idx else np.random.randint(5)``
+    treats idx=0 as falsy — a 0 is redrawn, and the redraw can only reach
+    textures 0-4.  The same holds here so trajectories match."""
     import cv2
 
     c = [(1, 0.4), (0.8, 0.6), (0.7, 0.7), (0.65, 0.7), (0.6, 0.75)][
         severity - 1
     ]
-    if idx is None:
-        idx = np.random.randint(6)
+    idx = idx if idx else int(np.random.randint(5))
     tex = _frost_texture(idx, frost_dir)
     x = np.asarray(x, np.float64)
     xh, xw = x.shape[:2]
     th, tw = tex.shape[:2]
+    # the fork's scaling-factor cases collapse to max(ratios, 1) * 1.1
+    # (corruption.py:151-170)
     scale = max(xh / th, xw / tw, 1.0) * 1.1
     tex = cv2.resize(tex, (int(np.ceil(tw * scale)), int(np.ceil(th * scale))),
                      interpolation=cv2.INTER_CUBIC)
-    ys = np.random.randint(0, tex.shape[0] - xh + 1)
-    xs = np.random.randint(0, tex.shape[1] - xw + 1)
+    # exclusive-high randint exactly like the fork (corruption.py:176-179):
+    # the bottom/right-most crop start is unreachable
+    ys = np.random.randint(0, tex.shape[0] - xh)
+    xs = np.random.randint(0, tex.shape[1] - xw)
     tex = tex[ys : ys + xh, xs : xs + xw]
+    if tex.dtype == np.uint8:  # photo texture: BGR -> RGB after the crop
+        tex = tex[..., [2, 1, 0]].astype(np.float64)
     return np.clip(c[0] * x + c[1] * tex, 0, 255)
 
 
 def snow(x, severity=1):
-    import cv2
-
+    """pip 1.1.2 snow: gaussian flake field -> clipped_zoom -> threshold ->
+    clip -> directional shifted-accumulation blur at a random angle in
+    [-135, -45] -> additive double-exposure (layer + its 180° rotation)."""
     c = [
         (0.1, 0.3, 3, 0.5, 10, 4, 0.8),
         (0.2, 0.3, 2, 0.5, 12, 4, 0.7),
@@ -315,22 +383,24 @@ def snow(x, severity=1):
         (0.55, 0.3, 4.5, 0.85, 12, 8, 0.65),
         (0.55, 0.3, 2.5, 0.85, 12, 12, 0.55),
     ][severity - 1]
-    x = np.asarray(x, np.float64) / 255.0
+    x = np.asarray(x, np.float32) / 255.0
     h, w = x.shape[:2]
     layer = np.random.normal(size=(h, w), loc=c[0], scale=c[1])
-    layer = clipped_zoom(layer[..., None], c[2])[..., 0]
+    # pip 1.1.2 thresholds/blurs the raw zoomed layer and patches size
+    # mismatches with a ValueError fallback; we crop/pad to (h, w) up
+    # front — same numerics away from the last row/col (documented
+    # divergence in the module docstring's terms: edge bookkeeping only)
+    layer = clipped_zoom(layer[..., None], c[2]).squeeze()[:h, :w]
+    if layer.shape != (h, w):
+        layer = np.pad(layer, ((0, h - layer.shape[0]),
+                               (0, w - layer.shape[1])), mode="edge")
     layer[layer < c[3]] = 0
+    layer = np.clip(layer, 0, 1)
 
-    # motion-blur the snow layer
-    radius, sigma = c[4], c[5]
-    k1d = _motion_blur_kernel(radius, sigma)
-    width = k1d.shape[0]
-    kernel = np.zeros((width, width))
-    kernel[width // 2, :] = k1d
     angle = np.random.uniform(-135, -45)
-    rot = cv2.getRotationMatrix2D((width / 2 - 0.5, width / 2 - 0.5), angle, 1)
-    kernel = cv2.warpAffine(kernel, rot, (width, width))
-    layer = cv2.filter2D(np.clip(layer, 0, 1), -1, kernel)[..., None]
+    layer = _directional_blur(layer, c[4], c[5], angle)[..., None].astype(
+        np.float32
+    )
 
     x = c[6] * x + (1 - c[6]) * np.maximum(
         x, rgb2gray(x)[..., None] * 1.5 + 0.5
@@ -439,7 +509,7 @@ def spatter(x, severity=1):
     ][severity - 1]
     x = np.asarray(x, np.float64) / 255.0
     liquid = np.random.normal(size=x.shape[:2], loc=c[0], scale=c[1])
-    liquid = gaussian_filter(liquid, sigma=c[2])
+    liquid = gaussian_filter(liquid, sigma=c[2], mode="nearest")
     liquid[liquid < c[3]] = 0
     if c[5] == 0:  # water
         liquid = (liquid * 255).astype(np.uint8)
@@ -465,7 +535,7 @@ def spatter(x, severity=1):
         return out
     # mud
     m = np.where(liquid > c[3], 1, 0).astype(np.float32)
-    m = gaussian_filter(m, sigma=c[4])
+    m = gaussian_filter(m.astype(np.float32), sigma=c[4], mode="nearest")
     m[m < 0.8] = 0
     color = np.stack([63 / 255.0 * np.ones_like(x[..., 0]),
                       42 / 255.0 * np.ones_like(x[..., 0]),
@@ -526,7 +596,9 @@ def corrupt_pair(image0_01: np.ndarray, image1_01: np.ndarray,
         return (out.astype(np.float32) / 255.0)[None]
 
     if mode == "same" and corruption_name == "frost":
-        idx = frost_idx if frost_idx is not None else np.random.randint(6)
+        # perturb_model.py:393 draws randint(5) (textures 0-4 only); a
+        # drawn 0 is then redrawn inside frost() via its falsy-idx quirk
+        idx = frost_idx if frost_idx is not None else np.random.randint(5)
         return apply(image0_01, idx), apply(image1_01, idx)
     out0 = apply(image0_01, None) if mode in ("both", "left", "same") else image0_01
     out1 = apply(image1_01, None) if mode in ("both", "right", "same") else image1_01
