@@ -19,16 +19,21 @@ import numpy as np
 
 from ..attacks import circle_transform
 from ..attacks.losses import compute_cossim, compute_epe
-from ..ops import resize_bilinear
+from ..attacks.patch3d import project_patch_3d_scene
 from ..utils.meters import AverageMeter, CsvLogger
-from .test_patch import _val_samples, build_parser as _base_parser, load_patch
+from .test_patch import (
+    _upsample3,
+    _val_samples,
+    build_parser as _base_parser,
+    load_patch,
+)
 
 
 def build_parser():
     p = _base_parser()
     p.description = __doc__
     p.add_argument("--stride", type=int, default=25)
-    p.add_argument("--ignore_mask_flow", action="store_true")
+    # --ignore_mask_flow comes from the shared base parser (test_patch.py)
     p.add_argument("--whole_img", type=float, default=0.0,
                    help="non-zero: the loaded patch/mask are already "
                         "full-image canvases; skip placement "
@@ -62,51 +67,70 @@ def main(argv=None):
     )
     errors = AverageMeter(i=4)
 
-    for i, tgt, fut, gt in _val_samples(args):
+    for i, past, tgt, fut, gt, disp, calib, poses in _val_samples(args):
         H, W = tgt.shape[1:3]
+        bt, h_gt, w_gt = gt.shape[0], gt.shape[1], gt.shape[2]
+        # true-motion margin keeps the swept patch projectable
+        # (test_moving_patch.py:289-291)
+        margin = int(np.asarray(disp).max()) if calib else 0
         flow = predict_jit(jnp.asarray(tgt), jnp.asarray(fut))
         epe = float(compute_epe(jnp.asarray(gt), flow))
         cos = float(compute_cossim(jnp.asarray(gt), flow))
 
-        ys = range(0, H - m_size, args.stride)
-        xs = range(0, W - m_size, args.stride)
-        heat = np.zeros((len(list(ys)), len(list(xs))), np.float32)
+        # whole-image canvases (--whole_img) still get one evaluation
+        ys = range(0, max(H - m_size, 1), args.stride)
+        xs = range(0, max(W - m_size, 1), args.stride)
+        heat = np.zeros((len(ys), len(xs)), np.float32)
         scene = AverageMeter(i=4)
         adv_epes, adv_coss = [], []
         worst = (-1.0, None)
 
-        for yi, ry in enumerate(range(0, H - m_size, args.stride)):
-            for xi, rx in enumerate(range(0, W - m_size, args.stride)):
+        for yi, ry in enumerate(ys):
+            for xi, rx in enumerate(xs):
                 if args.whole_img == 0:
                     # reference passes args.norotate (default False): swept
                     # patches rotate randomly per location
                     # (test_moving_patch.py:308-343, utils_patch.py:289-296)
-                    pc, mc, _, _, _, _ = circle_transform(
+                    pc, mc, _, rxa, rya, pshape2 = circle_transform(
                         patch.copy(), mask, patch.copy(), tgt.shape,
-                        patch_shape, norotate=args.norotate,
+                        patch_shape, margin, norotate=args.norotate,
                         fixed_loc=(rx, ry), moving=True,
                     )
                 else:
                     pc, mc = patch, mask
+                    rxa, rya, pshape2 = rx, ry, patch_shape
+                pc = pc.astype(np.float32)
+                mc = mc.astype(np.float32)
+
+                # GT in the patch region -> zero flow valid=1, or fully
+                # ignored (test_moving_patch.py:353-362,413-432)
+                patch_flow = np.zeros((bt, h_gt, w_gt, 3), np.float32)
+                patch_flow[..., 2] = 1.0
+
+                pc_fut, mc_fut = pc, mc
+                if calib:
+                    # project the patch into the 3D scene per location
+                    # (test_moving_patch.py:365-383)
+                    pc_fut, mc_fut, _, _, patch_flow = (
+                        project_patch_3d_scene(
+                            calib, poses, disp, pc, mc, rxa, rya, pshape2,
+                            w_gt, h_gt, patch_flow,
+                        )
+                    )
+
                 adv_tgt = np.clip((1 - mc) * tgt + mc * pc, 0, 1).astype(
                     np.float32
                 )
-                adv_fut = np.clip((1 - mc) * fut + mc * pc, 0, 1).astype(
-                    np.float32
-                )
+                adv_fut = np.clip(
+                    (1 - mc_fut) * fut + mc_fut * pc_fut, 0, 1
+                ).astype(np.float32)
                 adv_flow = predict_jit(
                     jnp.asarray(adv_tgt), jnp.asarray(adv_fut)
                 )
 
-                # GT in the patch region -> zero flow valid=1, or fully
-                # ignored (test_moving_patch.py:413-432)
-                mres = np.asarray(resize_bilinear(
-                    jnp.asarray(mc), gt.shape[1], gt.shape[2],
-                    align_corners=False,
-                ))
-                patch_flow = np.zeros_like(gt)
-                if not args.ignore_mask_flow:
-                    patch_flow[..., 2] = 1.0
+                mres = _upsample3(mc, h_gt, w_gt)
+                if args.ignore_mask_flow:
+                    patch_flow = np.zeros((bt, h_gt, w_gt, 3), np.float32)
                 gt_adv = (1 - mres) * gt + mres * patch_flow
 
                 adv_epe = float(compute_epe(jnp.asarray(gt_adv), adv_flow))
