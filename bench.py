@@ -78,9 +78,10 @@ def main():
     # loss_threshold 0 pins the while_loop at exactly max_count iterations
     n_steps = 8
     cfg = PatchAttackConfig(max_count=n_steps, loss_threshold=0.0)
-    attack = make_patch_attack_step(
-        lambda a, b: fnc.predict(a, b), cfg
-    )
+    # variables threaded as a TRACED argument (not closed over): closing
+    # over fnc.predict would inline ~150 MB of f32 params into the HLO
+    attack = make_patch_attack_step(fnc.predict_fn, cfg,
+                                    takes_variables=True)
     tgt = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
     ref = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
     mask = np.zeros((1, H, W, 3), np.float32)
@@ -89,8 +90,8 @@ def main():
     patch = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32)) * mask
     target = jnp.asarray(rng.randn(1, H, W, 2).astype(np.float32))
     dt = timed_loop(
-        lambda t, r: attack(t, r, patch, mask, patch, target)[:3],
-        (tgt, ref), n=5,
+        lambda t, r, v: attack(t, r, patch, mask, patch, target, v)[:3],
+        (tgt, ref, fnc.variables), n=5,
     )
     patch_iters = n_steps / dt
 

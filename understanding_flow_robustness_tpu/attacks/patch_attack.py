@@ -39,17 +39,27 @@ class PatchAttackConfig:
     image_clip: tuple[float, float] = (0.0, 1.0)
 
 
-def make_patch_attack_step(predict: Callable, cfg: PatchAttackConfig):
+def make_patch_attack_step(predict: Callable, cfg: PatchAttackConfig,
+                           takes_variables: bool = False):
     """Build the jitted inner attack (main.py:523-613).
 
-    predict(img1, img2) -> flow at GT resolution.
+    predict(img1, img2) -> flow at GT resolution; with
+    ``takes_variables=True``, predict(variables, img1, img2) and the
+    returned ``attack`` takes ``variables`` as a trailing TRACED argument —
+    closing over a large model's params would bake them into the HLO as
+    inline constants (FlowModel.predict_fn's contract; see PERF.md
+    "Program size").
     Inputs: tgt/ref_future images, patch/mask/init canvases (all NHWC
     full-image), target flow.  Returns (adv_tgt, adv_ref_future,
     patch_canvas, final_loss, n_steps).
     """
 
-    def loss_fn(adv_tgt, adv_ref_future, target, mask, patch, patch_init):
-        flow = predict(adv_tgt, adv_ref_future)
+    def loss_fn(adv_tgt, adv_ref_future, target, mask, patch, patch_init,
+                variables=None):
+        if takes_variables:
+            flow = predict(variables, adv_tgt, adv_ref_future)
+        else:
+            flow = predict(adv_tgt, adv_ref_future)
         if cfg.l2:
             loss_data = jnp.mean(
                 jnp.sqrt(jnp.sum((flow - target) ** 2, axis=-1) + 1e-8)
@@ -63,7 +73,8 @@ def make_patch_attack_step(predict: Callable, cfg: PatchAttackConfig):
     lo, hi = cfg.image_clip
 
     @jax.jit
-    def attack(tgt, ref_future, patch, mask, patch_init, target):
+    def attack(tgt, ref_future, patch, mask, patch_init, target,
+               variables=None):
         def composite(p):
             adv_tgt = (1 - mask) * tgt + mask * p
             adv_ref = (1 - mask) * ref_future + mask * p
@@ -76,7 +87,7 @@ def make_patch_attack_step(predict: Callable, cfg: PatchAttackConfig):
         def body(state):
             adv_tgt, adv_ref, patch, _, count = state
             loss, (g_tgt, g_ref) = grad_fn(
-                adv_tgt, adv_ref, target, mask, patch, patch_init
+                adv_tgt, adv_ref, target, mask, patch, patch_init, variables
             )
             patch = patch - jnp.clip(
                 0.5 * cfg.lr * (g_tgt + g_ref), -2.0, 2.0

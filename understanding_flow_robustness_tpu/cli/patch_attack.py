@@ -91,9 +91,13 @@ def main(argv=None):
     cfg = PatchAttackConfig(
         lr=args.lr, alpha=args.alpha, max_count=args.max_count, l2=args.l2
     )
-    attack_step = make_patch_attack_step(
-        lambda a, b: model.predict(a, b), cfg
-    )
+    # variables as a traced argument (not closed over — see PERF.md
+    # "Program size"); train_patch_epoch sees the 6-arg interface
+    raw_step = make_patch_attack_step(model.predict_fn, cfg,
+                                      takes_variables=True)
+
+    def attack_step(*step_args):
+        return raw_step(*step_args, model.variables)
 
     def train_batches():
         if args.synthetic:
