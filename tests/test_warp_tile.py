@@ -1,0 +1,138 @@
+"""Tiled MXU warp kernel: interpret-mode parity + fallback semantics.
+
+Mirrors the reference extension's check.py pattern (CPU-vs-CUDA allclose,
+models/Pytorch-Correlation-extension/check.py) with the jnp gather
+formulation as the oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from understanding_flow_robustness_tpu.ops.interp import (
+    bilinear_sample,
+    bilinear_sample_auto,
+    coords_grid,
+    warp_backward,
+)
+from understanding_flow_robustness_tpu.ops.pallas.warp_tile import (
+    warp_tiled_sample,
+)
+
+RNG = np.random.RandomState(7)
+
+
+def _coords(H, W, B, sigma, dx=0.0):
+    base = coords_grid(H, W)[None]
+    flow = RNG.randn(B, H, W, 2).astype(np.float32) * sigma
+    flow[..., 0] += dx
+    return (base[..., 1] + flow[..., 1], base[..., 0] + flow[..., 0])
+
+
+@pytest.mark.parametrize("zeros_mode", [False, True])
+def test_tiled_matches_gather_when_covered(zeros_mode):
+    B, H, W, C = 2, 48, 256, 3
+    img = jnp.asarray(RNG.rand(B, H, W, C).astype(np.float32))
+    sy, sx = _coords(H, W, B, sigma=3, dx=40.0)
+    if not zeros_mode:
+        sy, sx = jnp.clip(sy, 0, H - 1), jnp.clip(sx, 0, W - 1)
+    out, viol = warp_tiled_sample(
+        img, jnp.asarray(sy), jnp.asarray(sx), ry=16, rx=16,
+        zeros_mode=zeros_mode, interpret=True,
+    )
+    ref = bilinear_sample(
+        img, jnp.asarray(sx), jnp.asarray(sy),
+        padding_mode="zeros" if zeros_mode else "border",
+    )
+    assert int(viol) == 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_violations_detected_for_discontinuous_flow():
+    # W=512 so the snapped slab (sw=256) cannot cover a 300 px within-tile
+    # discontinuity
+    B, H, W, C = 1, 48, 512, 3
+    img = jnp.asarray(RNG.rand(B, H, W, C).astype(np.float32))
+    sy, sx = _coords(H, W, B, sigma=2)
+    sx = np.array(sx)
+    sx[:, :, 100:200] += 300.0  # big discontinuity inside tiles
+    sx = jnp.clip(jnp.asarray(sx), 0, W - 1)
+    sy = jnp.clip(sy, 0, H - 1)
+    _, viol = warp_tiled_sample(
+        img, sy, sx, ry=16, rx=16, zeros_mode=False, interpret=True
+    )
+    assert int(viol) > 0
+
+
+def test_auto_sampler_falls_back_exactly():
+    """bilinear_sample_auto must equal the gather path even when the flow
+    escapes the slab radius (the lax.cond fallback).  W=512 so the snapped
+    slab (sw=256) cannot cover the discontinuity."""
+    B, H, W, C = 1, 48, 512, 3
+    img = jnp.asarray(RNG.rand(B, H, W, C).astype(np.float32))
+    sy, sx = _coords(H, W, B, sigma=2)
+    sx = np.array(sx)
+    sx[:, :, 100:200] += 300.0
+    sx = jnp.clip(jnp.asarray(sx), 0, W - 1)
+    sy = jnp.clip(sy, 0, H - 1)
+    out = bilinear_sample_auto(
+        img, sx, sy, padding_mode="border", ry=16, rx=16, interpret=True
+    )
+    ref = bilinear_sample(img, sx, sy, padding_mode="border")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_auto_sampler_gradients_match_gather():
+    """custom_vjp backward must equal AD through the gather formulation."""
+    B, H, W, C = 1, 32, 128, 2
+    img = jnp.asarray(RNG.rand(B, H, W, C).astype(np.float32))
+    sy, sx = _coords(H, W, B, sigma=2)
+    sx = jnp.clip(sx, 0, W - 1)
+    sy = jnp.clip(sy, 0, H - 1)
+
+    def loss_auto(i, x, y):
+        return jnp.sum(
+            bilinear_sample_auto(i, x, y, "border", ry=8, rx=8,
+                                 interpret=True) ** 2
+        )
+
+    def loss_ref(i, x, y):
+        return jnp.sum(bilinear_sample(i, x, y, "border") ** 2)
+
+    g_auto = jax.grad(loss_auto, argnums=(0, 1, 2))(img, sx, sy)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(img, sx, sy)
+    for a, r in zip(g_auto, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-4)
+
+
+def test_warp_backward_modes_unchanged():
+    """warp_backward must produce identical values through the refactored
+    (concat-mask / auto-sampler) code paths on the gather backend."""
+    B, H, W = 1, 40, 96
+    img = jnp.asarray(RNG.rand(B, H, W, 3).astype(np.float32))
+    flow = jnp.asarray(RNG.randn(B, H, W, 2).astype(np.float32) * 4)
+    for mode in ("border", "zeros_mask", "spynet"):
+        out = warp_backward(img, flow, mode)
+        assert out.shape == img.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    # zeros_mask against the two-pass formulation it replaced
+    from understanding_flow_robustness_tpu.ops.interp import (
+        unnormalize_coords,
+    )
+
+    base = coords_grid(H, W)[None]
+    x = base[..., 0] + flow[..., 0]
+    y = base[..., 1] + flow[..., 1]
+    gx = 2.0 * x / (W - 1) - 1.0
+    gy = 2.0 * y / (H - 1) - 1.0
+    px, py = unnormalize_coords(gx, gy, H, W, align_corners=False)
+    ref = bilinear_sample(img, px, py, padding_mode="zeros")
+    mask = bilinear_sample(jnp.ones_like(img[..., :1]), px, py,
+                           padding_mode="zeros")
+    ref = ref * (mask >= 1e-4).astype(img.dtype)
+    np.testing.assert_allclose(
+        np.asarray(warp_backward(img, flow, "zeros_mask")), np.asarray(ref),
+        atol=1e-6,
+    )

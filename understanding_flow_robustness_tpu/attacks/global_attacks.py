@@ -315,3 +315,33 @@ def make_jitted_attack(predict: PredictFn, cfg: PerturbConfig):
         return perturb(predict, image0, image1, ground_truth, cfg, rng)
 
     return run
+
+
+def make_sharded_attack(predict_fn: Callable, cfg: PerturbConfig, mesh):
+    """Data-parallel white-box attack over a device mesh.
+
+    The reference's attack sweeps are its flagship workload but run
+    sample-at-a-time on one GPU (perturb_main.py:466-698); here the whole
+    n-step attack shards its batch over the mesh's ``data`` axis.  The
+    attack is per-sample independent (image gradients never cross the
+    batch axis), so no collectives are needed beyond XLA's bookkeeping.
+
+    predict_fn(variables, img1, img2) -> flow, variables as a TRACED
+    argument (FlowModel.predict_fn's contract — closing over params would
+    inline them into the HLO).  Returns jitted
+    ``run(variables, image0, image1, ground_truth, rng)``.
+    """
+    from ..parallel.mesh import batch_sharding, replicated
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+
+    def run(variables, image0, image1, ground_truth, rng):
+        predict = lambda a, b: predict_fn(variables, a, b)  # noqa: E731
+        return perturb(predict, image0, image1, ground_truth, cfg, rng)
+
+    return jax.jit(
+        run,
+        in_shardings=(rep, data, data, data, rep),
+        out_shardings=(data, data, data, data),
+    )

@@ -100,22 +100,48 @@ def run(
     predict: Callable[[Array, Array], Array],
     samples: Iterable,
     cfg: RunConfig,
+    mesh=None,
+    predict_fn: Optional[Callable] = None,
+    variables=None,
 ) -> dict:
     """Attack-evaluate over (img0, img1, gt_small, gt_full) NHWC [0,1]
     samples (batch dim included).  Returns the aggregate metrics dict and
-    writes results{seed}.txt under the output path."""
+    writes results{seed}.txt under the output path.
+
+    With ``mesh`` (plus ``predict_fn(variables, a, b)`` and ``variables``),
+    each sample batch is sharded over the mesh's ``data`` axis — the
+    multi-chip analog of the reference's DataParallel evaluation
+    (training/evaluate.py:410); feed batches whose leading dim is a
+    multiple of the mesh size.  Per-sample metrics/logging are unchanged:
+    every batch entry is logged individually.
+    """
     os.makedirs(cfg.output_path, exist_ok=True)
     seed = log_utils.find_unused_seed_results(cfg.output_path, cfg.seed)
     paths = log_utils.create_write_folder_structure(cfg.output_path)
     logf = os.path.join(cfg.output_path, f"log{seed}.txt")
 
-    predict_jit = jax.jit(predict)
     method = cfg.perturb.perturb_method
     is_corruption = method in get_corruption_names("all")
     attack = None
-    if method in ("fgsm", "fgm", "ifgsm", "ifgm", "mifgsm", "mifgm",
-                  "gaussian", "uniform", "none"):
-        attack = make_jitted_attack(predict, cfg.perturb)
+    whitebox = method in ("fgsm", "fgm", "ifgsm", "ifgm", "mifgsm", "mifgm",
+                          "gaussian", "uniform", "none")
+    if mesh is not None:
+        if predict_fn is None or variables is None:
+            raise ValueError("mesh mode needs predict_fn + variables")
+        from ..parallel.mesh import shard_predict
+        from .global_attacks import make_sharded_attack
+
+        _pjit = shard_predict(predict_fn, mesh)
+        predict_jit = lambda a, b: _pjit(variables, a, b)  # noqa: E731
+        if whitebox:
+            _attack = make_sharded_attack(predict_fn, cfg.perturb, mesh)
+            attack = (
+                lambda i0, i1, t, k: _attack(variables, i0, i1, t, k)
+            )  # noqa: E731
+    else:
+        predict_jit = jax.jit(predict)
+        if whitebox:
+            attack = make_jitted_attack(predict, cfg.perturb)
 
     universal = None
     if cfg.universal_perturbation_path:
@@ -130,10 +156,13 @@ def run(
         img1 = jnp.asarray(img1, jnp.float32)
         flow_origin = predict_jit(img0, img1)
 
-        target = (
-            jnp.asarray(cfg.arbitrary_gt[None])
-            if cfg.arbitrary_gt is not None else jnp.asarray(gt_small)
-        )
+        if cfg.arbitrary_gt is not None:
+            target = jnp.broadcast_to(
+                jnp.asarray(cfg.arbitrary_gt)[None],
+                img0.shape[:1] + cfg.arbitrary_gt.shape,
+            )
+        else:
+            target = jnp.asarray(gt_small)
 
         if cfg.arbitrary_noise is not None:
             n0 = jnp.asarray(cfg.arbitrary_noise[0][None])
@@ -172,29 +201,37 @@ def run(
 
         flow_noise = predict_jit(norm01(noise0), norm01(noise1))
 
-        noises0.append(np.asarray(noise0[0]))
-        noises1.append(np.asarray(noise1[0]))
-        origins.append(np.asarray(flow_origin[0]))
-        outputs.append(np.asarray(flow_output[0]))
-        gts.append(np.asarray(jnp.asarray(gt_full)[0]))
+        gt_full = jnp.asarray(gt_full)
+        for b in range(int(img0.shape[0])):
+            noises0.append(np.asarray(noise0[b]))
+            noises1.append(np.asarray(noise1[b]))
+            origins.append(np.asarray(flow_origin[b]))
+            outputs.append(np.asarray(flow_output[b]))
+            gts.append(np.asarray(gt_full[b]))
 
-        if cfg.write_out_frequency and i % cfg.write_out_frequency == 0:
-            log_utils.write_out_sample(
-                paths, i,
-                image0=np.asarray(adv0[0]), image1=np.asarray(adv1[0]),
-                noise0=np.asarray(noise0[0]), noise1=np.asarray(noise1[0]),
-                flow_output=np.asarray(flow_output[0]),
-                flow_origin=np.asarray(flow_origin[0]),
-                flow_output_noise=np.asarray(flow_noise[0]),
-                save_npy=cfg.save_npy,
+            j = len(outputs) - 1
+            if cfg.write_out_frequency and j % cfg.write_out_frequency == 0:
+                log_utils.write_out_sample(
+                    paths, j,
+                    image0=np.asarray(adv0[b]), image1=np.asarray(adv1[b]),
+                    noise0=np.asarray(noise0[b]),
+                    noise1=np.asarray(noise1[b]),
+                    flow_output=np.asarray(flow_output[b]),
+                    flow_origin=np.asarray(flow_origin[b]),
+                    flow_output_noise=np.asarray(flow_noise[b]),
+                    save_npy=cfg.save_npy,
+                )
+
+            epe_before = float(
+                compute_epe(gt_full[b : b + 1], flow_origin[b : b + 1])
             )
-
-        epe_before = float(compute_epe(jnp.asarray(gt_full), flow_origin))
-        epe_after = float(compute_epe(jnp.asarray(gt_full), flow_output))
-        log_utils.log(
-            f"[{i}] epe {epe_before:.3f} -> {epe_after:.3f}", logf,
-            to_console=False,
-        )
+            epe_after = float(
+                compute_epe(gt_full[b : b + 1], flow_output[b : b + 1])
+            )
+            log_utils.log(
+                f"[{j}] epe {epe_before:.3f} -> {epe_after:.3f}", logf,
+                to_console=False,
+            )
 
     n = max(len(outputs), 1)
     per_frame = (time.time() - t_start) / n

@@ -29,6 +29,8 @@ All functions take NHWC tensors: TPU vector lanes run along the trailing
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -171,6 +173,107 @@ def coords_grid(height: int, width: int, dtype=jnp.float32) -> Array:
     return jnp.stack([x, y], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Tiled MXU fast path for full-image warps (ops/pallas/warp_tile.py).
+#
+# The kernel is exact whenever every pixel's bilinear support fits its
+# tile's flow-following slab; it reports a violation count and we
+# lax.cond-fall back to the gather formulation otherwise, so semantics
+# never change.  Gradients always route through the gather formulation
+# (warp backward only matters on training/attack paths, which are not
+# warp-bound — PERF.md "Gather warps").
+
+_WARP_TILED_DEFAULT_RY = 32
+_WARP_TILED_DEFAULT_RX = 64
+
+
+def _tiled_eligible(img_shape, ry, rx):
+    """Effective radii for the tiled kernel, or None if the geometry is too
+    small to profit (tiny pyramid levels gather fast anyway)."""
+    from .pallas.warp_tile import TH, TW
+
+    B, H, W, C = img_shape
+    hp = H + (-H) % TH
+    wp = W + (-W) % TW
+    ry_eff = min(ry, (hp - TH - 2) // 2)
+    rx_eff = min(rx, (wp - TW - 2) // 2)
+    if ry_eff < 8 or rx_eff < 8 or C > 8:
+        return None
+    return ry_eff, rx_eff
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sample_exact(padding_mode: str, ry: int, rx: int, interpret: bool):
+    """custom_vjp sampler: tiled-kernel forward with exact gather fallback;
+    gather-formulation backward."""
+    from .pallas.warp_tile import warp_tiled_sample
+
+    def _forward(img, x, y):
+        H, W = img.shape[1:3]
+        if padding_mode == "border":
+            sx = jnp.clip(x, 0.0, W - 1.0)
+            sy = jnp.clip(y, 0.0, H - 1.0)
+        else:
+            sx, sy = x, y
+        out_fast, viol = warp_tiled_sample(
+            img, sy, sx, ry=ry, rx=rx,
+            zeros_mode=(padding_mode == "zeros"), interpret=interpret,
+        )
+        return lax.cond(
+            viol > 0,
+            lambda: bilinear_sample(img, x, y, padding_mode=padding_mode),
+            lambda: out_fast,
+        )
+
+    @jax.custom_vjp
+    def sample(img, x, y):
+        return _forward(img, x, y)
+
+    def fwd(img, x, y):
+        return _forward(img, x, y), (img, x, y)
+
+    def bwd(res, g):
+        img, x, y = res
+        _, vjp = jax.vjp(
+            lambda i, xx, yy: bilinear_sample(
+                i, xx, yy, padding_mode=padding_mode
+            ),
+            img, x, y,
+        )
+        return vjp(g)
+
+    sample.defvjp(fwd, bwd)
+    return sample
+
+
+def bilinear_sample_auto(
+    img: Array,
+    x: Array,
+    y: Array,
+    padding_mode: str = "zeros",
+    ry: int = _WARP_TILED_DEFAULT_RY,
+    rx: int = _WARP_TILED_DEFAULT_RX,
+    interpret: bool = False,
+) -> Array:
+    """``bilinear_sample`` with the tiled-MXU fast path when profitable.
+
+    Requires x/y shaped (B, H, W) matching img's spatial dims (the warp
+    call pattern).  Exact for every input: the kernel self-reports pixels
+    outside its slab coverage and the op falls back to the gather path.
+    """
+    eligible = (
+        (interpret or jax.default_backend() == "tpu")
+        and x.ndim == 3
+        and x.shape == img.shape[:3]
+    )
+    if eligible:
+        radii = _tiled_eligible(img.shape, ry, rx)
+        if radii is not None:
+            fn = _make_sample_exact(padding_mode, *radii, interpret)
+            return fn(img, x, y)
+    return bilinear_sample(img, x, y, padding_mode=padding_mode)
+
+
 def warp_backward(img: Array, flow: Array, mode: str = "border") -> Array:
     """Backward-warp ``img`` by ``flow``: out(y, x) = img(y + v, x + u).
 
@@ -193,7 +296,7 @@ def warp_backward(img: Array, flow: Array, mode: str = "border") -> Array:
     y = base[..., 1] + flow[..., 1].astype(jnp.float32)
 
     if mode == "border":
-        return bilinear_sample(img, x, y, padding_mode="border")
+        return bilinear_sample_auto(img, x, y, padding_mode="border")
 
     if mode == "zeros_mask":
         # PWCNet.warp normalizes with 2*coord/(size-1) - 1 and samples with
@@ -202,9 +305,14 @@ def warp_backward(img: Array, flow: Array, mode: str = "border") -> Array:
         gx = 2.0 * x / max(W - 1, 1) - 1.0
         gy = 2.0 * y / max(H - 1, 1) - 1.0
         px, py = unnormalize_coords(gx, gy, H, W, align_corners=False)
-        out = bilinear_sample(img, px, py, padding_mode="zeros")
+        # the warped-ones mask rides along as an extra channel: one sampler
+        # pass instead of two
         ones = jnp.ones_like(img[..., :1])
-        mask = bilinear_sample(ones, px, py, padding_mode="zeros")
+        both = bilinear_sample_auto(
+            jnp.concatenate([img, ones], axis=-1), px, py,
+            padding_mode="zeros",
+        )
+        out, mask = both[..., :-1], both[..., -1:]
         mask = (mask >= 1e-4).astype(img.dtype)
         return out * mask
 
@@ -213,7 +321,7 @@ def warp_backward(img: Array, flow: Array, mode: str = "border") -> Array:
         gx = jnp.clip(2.0 * x / max(W - 1, 1) - 1.0, -1.0, 1.0)
         gy = jnp.clip(2.0 * y / max(H - 1, 1) - 1.0, -1.0, 1.0)
         px, py = unnormalize_coords(gx, gy, H, W, align_corners=False)
-        return bilinear_sample(img, px, py, padding_mode="zeros")
+        return bilinear_sample_auto(img, px, py, padding_mode="zeros")
 
     raise ValueError(f"unknown warp mode: {mode}")
 

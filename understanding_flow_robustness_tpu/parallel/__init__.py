@@ -7,6 +7,7 @@ from .mesh import (
     replicate,
     replicated,
     shard_batch,
+    shard_predict,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "shard_predict",
 ]

@@ -44,3 +44,21 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     r = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
+
+
+def shard_predict(predict_fn, mesh: Mesh):
+    """Data-parallel inference: the TPU equivalent of wrapping the model in
+    ``torch.nn.DataParallel`` for evaluation (training/evaluate.py:410).
+
+    predict_fn(variables, img1, img2) -> flow (FlowModel.predict_fn's
+    contract: variables stay a traced argument).  Returns a jitted function
+    with variables replicated and the batch axis of images/flow sharded
+    over the mesh's ``data`` axis.
+    """
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        predict_fn,
+        in_shardings=(rep, data, data),
+        out_shardings=data,
+    )

@@ -90,9 +90,19 @@ def validate_sintel(model, dataset_fn) -> dict:
     return results
 
 
-def validate_kitti(model, dataset) -> dict:
+def validate_kitti(model, dataset, mesh=None) -> dict:
     """evaluate.py:348-392: EPE + F1 (outlier = EPE>3 AND EPE/mag>0.05,
-    :381) over valid pixels."""
+    :381) over valid pixels.
+
+    With ``mesh``, samples are padded to a common geometry and evaluated
+    in mesh-sized batches sharded over the ``data`` axis — the multi-chip
+    analog of the reference's DataParallel eval wrap
+    (training/evaluate.py:410).  Per-sample metrics are identical: padding
+    uses each sample's own replicate-pad and is cropped off before
+    scoring.
+    """
+    if mesh is not None:
+        return _validate_kitti_sharded(model, dataset, mesh)
     out_list, epe_list = [], []
     for i in range(len(dataset)):
         img1, img2, flow_gt, valid_gt = dataset[i]
@@ -108,6 +118,65 @@ def validate_kitti(model, dataset) -> dict:
     epe = float(np.mean(epe_list))
     f1 = 100 * float(np.mean(np.concatenate(out_list)))
     print(f"Validation KITTI: {epe:.6f}, {f1:.6f}")
+    return {"kitti-epe": epe, "kitti-f1": f1}
+
+
+def _validate_kitti_sharded(model, dataset, mesh) -> dict:
+    """Mesh-batched KITTI validation.  Samples are replicate-padded to one
+    common geometry so they batch (KITTI frames differ by a few pixels);
+    models see slightly more padded context than the per-sample-padded
+    sequential path, the same trade the reference makes whenever it crops
+    or batches for DataParallel.  Scoring crops the pad off first."""
+    from ..ops.interp import apply_pad
+    from ..parallel.mesh import shard_predict
+
+    n_dev = mesh.devices.size
+    pjit = shard_predict(model.predict_fn, mesh)
+
+    # common padded geometry over the whole set (KITTI frames differ by a
+    # few pixels; replicate-pad per sample, crop before scoring)
+    sizes = [dataset[i][0].shape[:2] for i in range(len(dataset))]
+    max_h = max(s[0] for s in sizes)
+    max_w = max(s[1] for s in sizes)
+    pad_h = max_h + (-max_h) % max(model.size_multiple, 1)
+    pad_w = max_w + (-max_w) % max(model.size_multiple, 1)
+
+    out_list, epe_list = [], []
+    for s0 in range(0, len(dataset), n_dev):
+        idxs = list(range(s0, min(s0 + n_dev, len(dataset))))
+        batch1, batch2, metas = [], [], []
+        for i in idxs:
+            img1, img2, flow_gt, valid_gt = dataset[i]
+            h, w = img1.shape[:2]
+            # kitti-mode pad (bottom/right-ish) to the common geometry
+            pad = (0, pad_h - h, (pad_w - w) // 2,
+                   pad_w - w - (pad_w - w) // 2)
+            batch1.append(np.asarray(apply_pad(
+                jnp.asarray(img1[None] / 255.0), pad))[0])
+            batch2.append(np.asarray(apply_pad(
+                jnp.asarray(img2[None] / 255.0), pad))[0])
+            metas.append((pad, flow_gt, valid_gt))
+        while len(batch1) < n_dev:  # ragged tail: replicate last sample
+            batch1.append(batch1[-1])
+            batch2.append(batch2[-1])
+        flows = np.asarray(pjit(
+            model.variables,
+            jnp.asarray(np.stack(batch1), jnp.float32),
+            jnp.asarray(np.stack(batch2), jnp.float32),
+        ))
+        for k, (pad, flow_gt, valid_gt) in enumerate(metas):
+            t, b, l, r = pad
+            H, W = flows[k].shape[:2]
+            flow = flows[k][t: H - b, l: W - r]
+            epe = np.sqrt(np.sum((flow - flow_gt) ** 2, axis=-1))
+            mag = np.sqrt(np.sum(flow_gt ** 2, axis=-1))
+            val = valid_gt >= 0.5
+            out = (epe > 3.0) & ((epe / np.maximum(mag, 1e-9)) > 0.05)
+            epe_list.append(epe[val].mean())
+            out_list.append(out[val])
+    epe = float(np.mean(epe_list))
+    f1 = 100 * float(np.mean(np.concatenate(out_list)))
+    print(f"Validation KITTI ({n_dev}-device mesh): {epe:.6f}, {f1:.6f}")
     return {"kitti-epe": epe, "kitti-f1": f1}
 
 
