@@ -39,6 +39,10 @@ import numpy as np
 RAFT_GPU_BASELINE = 10.0       # pairs/s, see module docstring
 FLOWNETC_GPU_BASELINE = 28.0   # pairs/s
 PATCH_GPU_BASELINE = 9.0       # attack iters/s
+FLOWNET2_GPU_BASELINE = 8.0    # pairs/s (123 ms/frame on GTX 1080, scaled)
+SPYNET_GPU_BASELINE = 14.0     # pairs/s (~69 ms/frame Titan X, scaled)
+TRAIN_GPU_BASELINE = 6.0       # frames/s (RAFT train step @ 288x960,
+#                                derived: inference/3/pixel-ratio)
 
 BATCH = 8
 H, W = 384, 1280
@@ -95,6 +99,43 @@ def main():
     )
     patch_iters = n_steps / dt
 
+    # --- FlowNet2 cascade + SpyNet inference (warp-kernel path) ---
+    fn2 = fetch_model("FlowNet2", pretrained_path=None, init_size=(128, 128))
+    dt = timed_loop(lambda a, b, v: fn2.predict_fn(v, a, b),
+                    (img1, img2, fn2.variables), n=10)
+    fn2_pairs = BATCH / dt
+    spy = fetch_model("SpyNet", pretrained_path=None, init_size=(128, 128))
+    dt = timed_loop(lambda a, b, v: spy.predict_fn(v, a, b),
+                    (img1, img2, spy.variables), n=10)
+    spy_pairs = BATCH / dt
+
+    # --- RAFT adversarial-finetuning train step (batch 4 @ 288x960) ---
+    from understanding_flow_robustness_tpu.training import (
+        fetch_optimizer,
+        make_train_step,
+    )
+
+    tb, th, tw = 4, 288, 960
+    tx, _ = fetch_optimizer(lr=1e-4, num_steps=1000)
+    tparams = raft.variables["params"]
+    topt = tx.init(tparams)
+    tstep = jax.jit(make_train_step(raft.module, tx, loss_type="sequence",
+                                    is_raft=True))
+    tbatch = (
+        jnp.asarray(rng.rand(tb, th, tw, 3).astype(np.float32)),
+        jnp.asarray(rng.rand(tb, th, tw, 3).astype(np.float32)),
+        jnp.asarray(rng.randn(tb, th, tw, 2).astype(np.float32)),
+        jnp.ones((tb, th, tw), jnp.float32),
+    )
+
+    def train_once(i1, i2, fl, va, p, o):
+        batch = {"image1": i1, "image2": i2, "flow": fl, "valid": va}
+        np_, no_, _, m = tstep(p, o, {}, batch)
+        return m["loss"]
+
+    dt = timed_loop(train_once, tbatch + (tparams, topt), n=5)
+    train_frames = tb / dt
+
     print(
         json.dumps(
             {
@@ -119,6 +160,33 @@ def main():
                         "unit": "attack-iters/s",
                         "vs_baseline": round(
                             patch_iters / PATCH_GPU_BASELINE, 2
+                        ),
+                    },
+                    {
+                        "metric": "flownet2_384x1280_frame_pairs"
+                                  "_per_sec_per_chip",
+                        "value": round(fn2_pairs, 2),
+                        "unit": "frame-pairs/s",
+                        "vs_baseline": round(
+                            fn2_pairs / FLOWNET2_GPU_BASELINE, 2
+                        ),
+                    },
+                    {
+                        "metric": "spynet_384x1280_frame_pairs"
+                                  "_per_sec_per_chip",
+                        "value": round(spy_pairs, 2),
+                        "unit": "frame-pairs/s",
+                        "vs_baseline": round(
+                            spy_pairs / SPYNET_GPU_BASELINE, 2
+                        ),
+                    },
+                    {
+                        "metric": "raft_train_step_288x960_frames"
+                                  "_per_sec_per_chip",
+                        "value": round(train_frames, 2),
+                        "unit": "frames/s",
+                        "vs_baseline": round(
+                            train_frames / TRAIN_GPU_BASELINE, 2
                         ),
                     },
                 ],

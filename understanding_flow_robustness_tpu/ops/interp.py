@@ -206,7 +206,7 @@ def _tiled_eligible(img_shape, ry, rx):
 def _make_sample_exact(padding_mode: str, ry: int, rx: int, interpret: bool):
     """custom_vjp sampler: tiled-kernel forward with exact gather fallback;
     gather-formulation backward."""
-    from .pallas.warp_tile import warp_tiled_sample
+    from .pallas.warp_tile import warp_tiled_sample, warp_tiled_violations
 
     def _forward(img, x, y):
         H, W = img.shape[1:3]
@@ -215,14 +215,20 @@ def _make_sample_exact(padding_mode: str, ry: int, rx: int, interpret: bool):
             sy = jnp.clip(y, 0.0, H - 1.0)
         else:
             sx, sy = x, y
-        out_fast, viol = warp_tiled_sample(
-            img, sy, sx, ry=ry, rx=rx,
-            zeros_mode=(padding_mode == "zeros"), interpret=interpret,
+        zeros = padding_mode == "zeros"
+        # violation test first (cheap, elementwise): the cond then runs
+        # EITHER the kernel OR the gather — a violating input never pays
+        # for both paths
+        viol = warp_tiled_violations(
+            img.shape, sy, sx, ry=ry, rx=rx, zeros_mode=zeros
         )
         return lax.cond(
             viol > 0,
             lambda: bilinear_sample(img, x, y, padding_mode=padding_mode),
-            lambda: out_fast,
+            lambda: warp_tiled_sample(
+                img, sy, sx, ry=ry, rx=rx, zeros_mode=zeros,
+                interpret=interpret,
+            )[0],
         )
 
     @jax.custom_vjp

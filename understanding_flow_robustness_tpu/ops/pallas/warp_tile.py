@@ -108,40 +108,11 @@ def _warp_kernel(starts_ref, sy_ref, sx_ref, img_ref, out_ref, slab, sem,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("ry", "rx", "zeros_mode", "interpret")
-)
-def warp_tiled_sample(
-    img: Array,
-    sy: Array,
-    sx: Array,
-    ry: int = 32,
-    rx: int = 64,
-    zeros_mode: bool = False,
-    interpret: bool = False,
-) -> tuple[Array, Array]:
-    """Sample ``img`` at absolute pixel coordinates via the tiled kernel.
-
-    img: (B, H, W, C).  sy, sx: (B, H, W) f32 absolute sample coordinates
-    (callers encode border clamping / normalized-grid conventions before
-    this op).  Returns ``(out, violations)`` where out is (B, H, W, C) and
-    violations is a scalar int32 counting pixels whose bilinear support
-    escaped their tile's slab — the caller must fall back to the gather
-    path when violations > 0 for exact semantics.
-    """
-    B, H, W, C = img.shape
-    ph = (-H) % TH
-    pw = (-W) % TW
-    if ph or pw:
-        img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)))
-        # edge-replicated coords keep each tile's mean local, so padding
-        # never drags a slab origin away from the real pixels
-        sy = jnp.pad(sy, ((0, 0), (0, ph), (0, pw)), mode="edge")
-        sx = jnp.pad(sx, ((0, 0), (0, ph), (0, pw)), mode="edge")
-    Hp, Wp = img.shape[1:3]
-    nty, ntx = Hp // TH, Wp // TW
-    T = nty * ntx
-    P = TH * TW
+def _tile_geometry(img_shape, ry, rx):
+    """Padded geometry + aligned slab dims for (img_shape, radii)."""
+    B, H, W, C = img_shape
+    hp = H + (-H) % TH
+    wp = W + (-W) % TW
     # Mosaic DMA slices must be tile-aligned: slab dims snap up to (8, 128)
     # multiples and slab origins snap down to the same grid (the violation
     # test uses the actual aligned geometry, so exactness is preserved).
@@ -149,11 +120,27 @@ def warp_tiled_sample(
     sw = TW + 2 * rx + 2
     sh += (-sh) % 8
     sw += (-sw) % 128
-    if sh > Hp or sw > Wp:
-        raise ValueError(
-            f"slab ({sh}x{sw}) larger than padded image ({Hp}x{Wp}); "
-            "shrink ry/rx or use the gather path"
-        )
+    return hp, wp, sh, sw
+
+
+def _plan_tiles(img_shape, sy, sx, ry, rx, zeros_mode):
+    """Tile-major coords, slab origins and the exact violation count.
+
+    Cheap (elementwise + tile reductions) — callers run this FIRST and
+    lax.cond between the kernel and the gather path, so a violating input
+    never pays for both.
+    """
+    B, H, W, C = img_shape
+    hp, wp, sh, sw = _tile_geometry(img_shape, ry, rx)
+    ph, pw = hp - H, wp - W
+    if ph or pw:
+        # edge-replicated coords keep each tile's mean local, so padding
+        # never drags a slab origin away from the real pixels
+        sy = jnp.pad(sy, ((0, 0), (0, ph), (0, pw)), mode="edge")
+        sx = jnp.pad(sx, ((0, 0), (0, ph), (0, pw)), mode="edge")
+    nty, ntx = hp // TH, wp // TW
+    T = nty * ntx
+    P = TH * TW
 
     # (B, T, P) tile-major coordinate layout (P stays lane-dense)
     def tiles(x):
@@ -165,16 +152,19 @@ def warp_tiled_sample(
     sxt = tiles(sx.astype(jnp.float32))
 
     # Data-dependent slab origin: center the slab on the tile's mean sample
-    # coordinate, snapped down to the DMA tiling grid, clamped in-image.
+    # coordinate, snapped to the NEAREST DMA-tiling grid point (flooring
+    # would lose up to a whole alignment block of coverage on one side —
+    # output tiles are themselves grid-aligned, so the centered origin
+    # lands just below a grid line), clamped in-image.
     start_y = jnp.clip(
-        ((jnp.round(jnp.mean(syt, axis=2)).astype(jnp.int32) - sh // 2)
+        ((jnp.round(jnp.mean(syt, axis=2)).astype(jnp.int32) - sh // 2 + 4)
          // 8) * 8,
-        0, Hp - sh,
+        0, hp - sh,
     )  # (B, T)
     start_x = jnp.clip(
-        ((jnp.round(jnp.mean(sxt, axis=2)).astype(jnp.int32) - sw // 2)
+        ((jnp.round(jnp.mean(sxt, axis=2)).astype(jnp.int32) - sw // 2 + 64)
          // 128) * 128,
-        0, Wp - sw,
+        0, wp - sw,
     )
 
     # Exact per-tap violation test: a tap is needed iff its bilinear weight
@@ -198,6 +188,54 @@ def warp_tiled_sample(
 
     viol = tap_viol(syt, start_y, sh, H) | tap_viol(sxt, start_x, sw, W)
     violations = jnp.sum(viol.astype(jnp.int32))
+    return syt, sxt, start_y, start_x, violations
+
+
+def warp_tiled_violations(
+    img_shape, sy: Array, sx: Array, ry: int = 32, rx: int = 64,
+    zeros_mode: bool = False,
+) -> Array:
+    """Just the violation count for (img_shape, coords, radii) — cheap;
+    run before the kernel to pick a path without paying for both."""
+    return _plan_tiles(img_shape, sy, sx, ry, rx, zeros_mode)[4]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ry", "rx", "zeros_mode", "interpret")
+)
+def warp_tiled_sample(
+    img: Array,
+    sy: Array,
+    sx: Array,
+    ry: int = 32,
+    rx: int = 64,
+    zeros_mode: bool = False,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Sample ``img`` at absolute pixel coordinates via the tiled kernel.
+
+    img: (B, H, W, C).  sy, sx: (B, H, W) f32 absolute sample coordinates
+    (callers encode border clamping / normalized-grid conventions before
+    this op).  Returns ``(out, violations)`` where out is (B, H, W, C) and
+    violations is a scalar int32 counting pixels whose bilinear support
+    escaped their tile's slab — the caller must fall back to the gather
+    path when violations > 0 for exact semantics.
+    """
+    B, H, W, C = img.shape
+    Hp, Wp, sh, sw = _tile_geometry(img.shape, ry, rx)
+    if sh > Hp or sw > Wp:
+        raise ValueError(
+            f"slab ({sh}x{sw}) larger than padded image ({Hp}x{Wp}); "
+            "shrink ry/rx or use the gather path"
+        )
+    syt, sxt, start_y, start_x, violations = _plan_tiles(
+        img.shape, sy, sx, ry, rx, zeros_mode
+    )
+    if Hp != H or Wp != W:
+        img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    nty, ntx = Hp // TH, Wp // TW
+    T = nty * ntx
+    P = TH * TW
 
     # C-major image for contiguous per-tile slab DMAs inside the kernel
     # (standard NCHW layout, lane dim = W: no small-channel lane padding).
