@@ -17,6 +17,7 @@ Compute dtype is configurable (bf16 on TPU for speed); parameters stay f32.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -32,6 +33,73 @@ def leaky_relu(x: Array, negative_slope: float = 0.1) -> Array:
     return jnp.where(x >= 0, x, x * negative_slope)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_fast_dgrad(x: Array, w: Array, stride, padding) -> Array:
+    """Stride-s conv whose input-gradient is a col2im matmul.
+
+    XLA's dgrad of a strided conv with a tiny input-channel count emits a
+    transposed conv whose output channels (= Ci) occupy 3 of 128 MXU
+    lanes: FlowNetC's conv1 (7x7 s2, 3->64) costs 0.65 ms forward but
+    6.7 ms backward at the attack geometry (measured, b2 384x1280) — the
+    patch-attack bottleneck (patch_attacks/main.py:546-611 is fwd+bwd per
+    iteration).  Here the backward is (B*Ho*Wo, Co) @ (Co, k*k*Ci)
+    (k*k*Ci = 147 lanes for conv1 — dense) followed by a strided
+    overlap-add of the k*k patch planes.  Mathematically identical to the
+    AD backward (same sums, different association).
+    """
+    (sh, sw), (ph, pw) = stride, padding
+    return lax.conv_general_dilated(
+        x, w, (sh, sw), ((ph, ph), (pw, pw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _conv_fd_fwd(x, w, stride, padding):
+    return conv2d_fast_dgrad(x, w, stride, padding), (x, w)
+
+
+def _conv_fd_bwd(stride, padding, res, g):
+    from ..ops.s2d import dgrad_conv_s2d
+
+    x, w = res
+    (sh, sw), (ph, pw) = stride, padding
+    B, Hin, Win, Ci = x.shape
+    Ho, Wo = g.shape[1:3]
+
+    if (
+        (sh, sw) == (2, 2)
+        and ph == pw
+        and Hin % 4 == 0 and Win % 4 == 0
+        and Ho % 2 == 0 and Wo % 2 == 0
+    ):
+        dx = dgrad_conv_s2d(g, w.astype(g.dtype), ph, x.shape)
+    else:
+        # geometry the packed formulation doesn't cover: AD's dgrad
+        _, xvjp = jax.vjp(
+            lambda xx: lax.conv_general_dilated(
+                xx, w.astype(g.dtype), (sh, sw), ((ph, ph), (pw, pw)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ),
+            x,
+        )
+        (dx,) = xvjp(g)
+
+    # weight gradient via AD of the conv w.r.t. w only (XLA's wgrad conv
+    # is fine; it is DCE'd when the caller never uses parameter grads)
+    _, wvjp = jax.vjp(
+        lambda ww: lax.conv_general_dilated(
+            x, ww, (sh, sw), ((ph, ph), (pw, pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ),
+        w,
+    )
+    (dw,) = wvjp(g)
+    return dx, dw
+
+
+conv2d_fast_dgrad.defvjp(_conv_fd_fwd, _conv_fd_bwd)
+
+
 class TorchConv(nn.Module):
     """nn.Conv2d parity: explicit symmetric padding, HWIO kernel."""
 
@@ -42,6 +110,15 @@ class TorchConv(nn.Module):
     dilation: int | tuple[int, int] = 1
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    # Compute the conv in 2x2 space-to-depth space (ops/s2d.py): exact,
+    # same params, 4x the MXU lane occupancy — the fast path for stride-1
+    # small-channel convs (SpyNet's full-res 7x7 G-units).  Input expects
+    # the s2d layout; the caller brackets the stack with
+    # space_to_depth/depth_to_space.
+    s2d: bool = False
+    # col2im-matmul input gradient (conv2d_fast_dgrad): None = auto (TPU,
+    # strided, tiny input-channel count — the attack-backward bottleneck).
+    fast_dgrad: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -52,7 +129,7 @@ class TorchConv(nn.Module):
             ph, pw = ((kh - 1) // 2) * dh, ((kw - 1) // 2) * dw
         else:
             ph, pw = _pair(self.padding)
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // 4 if self.s2d else x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.kaiming_normal(),
@@ -60,14 +137,49 @@ class TorchConv(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(sh, sw),
-            padding=((ph, ph), (pw, pw)),
-            rhs_dilation=(dh, dw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.s2d:
+            from ..ops.s2d import s2d_conv_kernel
+
+            assert (sh, sw) == (1, 1) and (dh, dw) == (1, 1)
+            assert (ph, pw) == ((kh - 1) // 2, (kw - 1) // 2)
+            k2 = s2d_conv_kernel(kernel).astype(dtype)
+            pad = (kh // 2 + 2) // 2
+            y = lax.conv_general_dilated(
+                x.astype(dtype), k2,
+                window_strides=(1, 1),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.features,),
+                    jnp.float32,
+                )
+                y = y + jnp.broadcast_to(
+                    bias.astype(dtype), (4, self.features)
+                ).reshape(-1)
+            return y
+        fast = self.fast_dgrad
+        if fast is None:
+            fast = (
+                in_ch <= 8
+                and (sh, sw) != (1, 1)
+                and jax.default_backend() == "tpu"
+            )
+        fast = fast and (dh, dw) == (1, 1)  # dilation unsupported
+        if fast:
+            y = conv2d_fast_dgrad(
+                x.astype(dtype), kernel.astype(dtype), (sh, sw), (ph, pw)
+            )
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(sh, sw),
+                padding=((ph, ph), (pw, pw)),
+                rhs_dilation=(dh, dw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32

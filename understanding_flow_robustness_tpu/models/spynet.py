@@ -34,17 +34,39 @@ def spynet_preprocess(im: Array) -> Array:
 
 class SpyNetBasic(nn.Module):
     """models/spynet.py:51-130: conv7x7 stack 8->32->64->32->16->2, ReLU
-    between (none after the last)."""
+    between (none after the last).
+
+    On TPU the whole stack runs in 2x2 space-to-depth space (ops/s2d.py):
+    these full-res small-channel 7x7 convs otherwise pad their output
+    channels 4-8x on the MXU lane tile (95 of SpyNet's 189 ms at b8,
+    measured) — the transform is exact and uses the same params.
+    """
 
     dtype: Optional[Any] = None
+    use_s2d: Optional[bool] = None  # None = auto (TPU + even dims)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        s2d = self.use_s2d
+        if s2d is None:
+            s2d = (
+                jax.default_backend() == "tpu"
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+            )
+        if s2d:
+            from ..ops.s2d import depth_to_space, space_to_depth
+
+            x = space_to_depth(x)
         for i, feat in enumerate([32, 64, 32, 16]):
             x = jax.nn.relu(
-                TorchConv(feat, 7, 1, dtype=self.dtype, name=f"conv{i}")(x)
+                TorchConv(feat, 7, 1, dtype=self.dtype, s2d=s2d,
+                          name=f"conv{i}")(x)
             )
-        return TorchConv(2, 7, 1, dtype=self.dtype, name="conv4")(x)
+        x = TorchConv(2, 7, 1, dtype=self.dtype, s2d=s2d, name="conv4")(x)
+        if s2d:
+            x = depth_to_space(x)
+        return x
 
 
 class SpyNet(nn.Module):
@@ -53,6 +75,7 @@ class SpyNet(nn.Module):
     nlevels: int = 6
     return_features: bool = False
     dtype: Optional[Any] = None
+    use_s2d: Optional[bool] = None  # forwarded to SpyNetBasic
 
     @nn.compact
     def __call__(self, im1: Array, im2: Array, train: bool = False):
@@ -84,7 +107,8 @@ class SpyNet(nn.Module):
             warped = warp_backward(x2[level], up, mode="spynet")
             inp = jnp.concatenate([x1[level], warped, up], axis=-1)
             flow = (
-                SpyNetBasic(dtype=self.dtype, name=f"basic{level}")(inp) + up
+                SpyNetBasic(dtype=self.dtype, use_s2d=self.use_s2d,
+                            name=f"basic{level}")(inp) + up
             )
             all_flows.append(flow)
 

@@ -257,8 +257,8 @@ def bilinear_sample_auto(
     x: Array,
     y: Array,
     padding_mode: str = "zeros",
-    ry: int = _WARP_TILED_DEFAULT_RY,
-    rx: int = _WARP_TILED_DEFAULT_RX,
+    ry: Optional[int] = None,
+    rx: Optional[int] = None,
     interpret: bool = False,
 ) -> Array:
     """``bilinear_sample`` with the tiled-MXU fast path when profitable.
@@ -267,6 +267,10 @@ def bilinear_sample_auto(
     call pattern).  Exact for every input: the kernel self-reports pixels
     outside its slab coverage and the op falls back to the gather path.
     """
+    if ry is None:
+        ry = _WARP_TILED_DEFAULT_RY
+    if rx is None:
+        rx = _WARP_TILED_DEFAULT_RX
     eligible = (
         (interpret or jax.default_backend() == "tpu")
         and x.ndim == 3
@@ -280,10 +284,14 @@ def bilinear_sample_auto(
     return bilinear_sample(img, x, y, padding_mode=padding_mode)
 
 
-def warp_backward(img: Array, flow: Array, mode: str = "border") -> Array:
+def warp_backward(img: Array, flow: Array, mode: str = "border",
+                  ry: Optional[int] = None, rx: Optional[int] = None) -> Array:
     """Backward-warp ``img`` by ``flow``: out(y, x) = img(y + v, x + u).
 
     img: (B, H, W, C); flow: (B, H, W, 2) with flow[..., 0] = u (x-displ.).
+    ry/rx override the tiled-kernel slab radii for call sites whose flows
+    have larger within-tile variation than the defaults cover (the op is
+    exact either way — mis-sized radii only cost the gather fallback).
 
     mode:
       * "border":     Resample2d semantics (FlowNet2 stage chaining,
@@ -302,7 +310,8 @@ def warp_backward(img: Array, flow: Array, mode: str = "border") -> Array:
     y = base[..., 1] + flow[..., 1].astype(jnp.float32)
 
     if mode == "border":
-        return bilinear_sample_auto(img, x, y, padding_mode="border")
+        return bilinear_sample_auto(img, x, y, padding_mode="border",
+                                    ry=ry, rx=rx)
 
     if mode == "zeros_mask":
         # PWCNet.warp normalizes with 2*coord/(size-1) - 1 and samples with
@@ -316,7 +325,7 @@ def warp_backward(img: Array, flow: Array, mode: str = "border") -> Array:
         ones = jnp.ones_like(img[..., :1])
         both = bilinear_sample_auto(
             jnp.concatenate([img, ones], axis=-1), px, py,
-            padding_mode="zeros",
+            padding_mode="zeros", ry=ry, rx=rx,
         )
         out, mask = both[..., :-1], both[..., -1:]
         mask = (mask >= 1e-4).astype(img.dtype)
@@ -327,7 +336,8 @@ def warp_backward(img: Array, flow: Array, mode: str = "border") -> Array:
         gx = jnp.clip(2.0 * x / max(W - 1, 1) - 1.0, -1.0, 1.0)
         gy = jnp.clip(2.0 * y / max(H - 1, 1) - 1.0, -1.0, 1.0)
         px, py = unnormalize_coords(gx, gy, H, W, align_corners=False)
-        return bilinear_sample_auto(img, px, py, padding_mode="zeros")
+        return bilinear_sample_auto(img, px, py, padding_mode="zeros",
+                                    ry=ry, rx=rx)
 
     raise ValueError(f"unknown warp mode: {mode}")
 
