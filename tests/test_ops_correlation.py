@@ -427,3 +427,53 @@ def test_alt_corr_pallas_backward_matches_reference_vjp(padded):
     for r, o in zip(ref, got):
         np.testing.assert_allclose(
             np.asarray(o), np.asarray(r), atol=2e-4)
+
+
+def test_padded_window_invariant_helper():
+    """ADVICE: the padded layout's t/s >= 2r+1 lanes carry live samples on
+    the kernel path; check_padded_window_unused verifies a consumer's
+    weights never read them."""
+    from understanding_flow_robustness_tpu.ops.correlation import (
+        check_padded_window_unused,
+    )
+
+    r, L, P = 4, 4, 16
+    n = 2 * r + 1
+    good = np.zeros((8, P, L * P), np.float32)
+    good[:, :n, :] = 1.0
+    g5 = good.reshape(8, P, L, P)
+    g5[..., n:] = 0.0
+    assert check_padded_window_unused(jnp.asarray(g5.reshape(8, P, L * P)), r)
+    bad = np.array(g5)
+    bad[:, n + 1, 0, 0] = 0.5  # reads a live-padding row
+    assert not check_padded_window_unused(
+        jnp.asarray(bad.reshape(8, P, L * P)), r
+    )
+
+
+def test_alt_corr_vmem_fallback_large_maps():
+    """Oversized feature maps must route to the volume formulation instead
+    of compiling an over-budget kernel (ADVICE: size-based fallback)."""
+    from understanding_flow_robustness_tpu.ops import correlation as C
+
+    # estimate crosses the budget somewhere between eval and 4x geometry
+    small = C._alt_vmem_bytes((1, 48, 160, 256), 4, 4, jnp.bfloat16)
+    big = C._alt_vmem_bytes((1, 192, 640, 256), 4, 4, jnp.bfloat16)
+    assert small < C._ALT_VMEM_BUDGET < big
+
+    # and the public entry still computes correct values through the
+    # fallback (tiny shapes with a forced tiny budget)
+    rng = np.random.RandomState(0)
+    f1 = jnp.asarray(rng.randn(1, 8, 12, 16).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(1, 8, 12, 16).astype(np.float32))
+    from understanding_flow_robustness_tpu.ops.interp import coords_grid
+
+    coords = jnp.asarray(coords_grid(8, 12))[None]
+    ref = C._alt_corr_reference(f1, f2, coords, 2, 2)
+    orig = C._ALT_VMEM_BUDGET
+    try:
+        C._ALT_VMEM_BUDGET = 1
+        out = C.alt_corr_features(f1, f2, coords, num_levels=2, radius=2)
+    finally:
+        C._ALT_VMEM_BUDGET = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -417,15 +417,71 @@ def alt_corr_features(fmap1: Array, fmap2: Array, coords: Array,
     a VMEM-resident (pooled) fmap2 inside a fused Pallas kernel.
 
     padded=True returns (B, H, W, num_levels*256) with each level's
-    (2r+1)x(2r+1) window zero-padded into a 16x16 channel block
-    (channel = s*16 + t, s-major like the reference's transposed order) —
-    the layout the fused RAFT motion encoder consumes directly.
+    (2r+1)x(2r+1) window laid into a 16x16 channel block
+    (channel = t*(L*16) + l*16 + s) — the layout the fused RAFT motion
+    encoder consumes directly.
+
+    INVARIANT (padded=True): channels at window positions t or
+    s >= 2r+1 are LIVE hat samples on the TPU kernel path but zeros on
+    the reference path — consumers must weight them by zero or slice
+    them off, and cotangents flowing back into them must be zero (the
+    Pallas backward assumes it).  Both production consumers satisfy
+    this; ``check_padded_window_unused`` + tests/test_ops_correlation.py
+    enforce it for new ones.
+
+    VMEM guard: the fused kernel keeps all pooled fmap2 levels, the
+    level-0 corr tile and the broadcast f1 tile resident in VMEM.  When
+    the estimated footprint exceeds the compiled 96 MB budget (feature
+    maps much larger than the KITTI eval geometry), this entry falls
+    back to the volume formulation instead of failing to compile.
 
     Differentiable: gradients route through the volume formulation
     (identical math) via custom_vjp.
     """
+    if not interpret and _alt_vmem_bytes(
+        fmap1.shape, num_levels, radius, compute_dtype
+    ) > _ALT_VMEM_BUDGET:
+        return _alt_corr_reference(fmap1, fmap2, coords, num_levels,
+                                   radius, compute_dtype, padded)
     return _alt_corr_vjp(fmap1, fmap2, coords, num_levels, radius,
                          compute_dtype, padded, interpret)
+
+
+_ALT_VMEM_BUDGET = 80 * 1024 * 1024  # margin under the 96 MB compile limit
+
+
+def _alt_vmem_bytes(fmap_shape, num_levels, radius, compute_dtype,
+                    tile: int = 256) -> int:
+    """Worst-case VMEM residency of one alt_lookup kernel invocation
+    (ops/pallas/alt_corr.py::_alt_corr_kernel): every pooled fmap2 level,
+    the level-0 (Hl, tile, Wl) f32 corr intermediate plus its sel-dtype
+    copy, the broadcast f1 tile, and the lane-stacked output block."""
+    B, H, W, C = fmap_shape
+    item = 2 if compute_dtype == jnp.bfloat16 else 4
+    levels = sum(
+        max(H >> l, 1) * max(W >> l, 1) * C for l in range(num_levels)
+    ) * item
+    corr = H * tile * W * (4 + item)          # f32 corrH + sel-dtype copy
+    f1e = H * tile * C * item                 # broadcast f1 tile (level 0)
+    out = tile * 16 * num_levels * 16 * item
+    return levels + corr + f1e + out
+
+
+def check_padded_window_unused(weights_or_slice: Array, radius: int) -> bool:
+    """Debug helper for new consumers of the padded layout: True iff the
+    given per-window weight block (..., 16, L*16) is zero at every window
+    position with t or s >= 2r+1 (the live-padding lanes the kernel does
+    not zero)."""
+    n = 2 * radius + 1
+    P = 16
+    w = jnp.asarray(weights_or_slice)
+    L = w.shape[-1] // P
+    w5 = w.reshape(w.shape[:-2] + (P, L, P))
+    pad_t = w5[..., n:, :, :]
+    pad_s = w5[..., :, :, n:]
+    return bool(
+        jnp.all(pad_t == 0) & jnp.all(pad_s == 0)
+    )
 
 
 def _alt_corr_reference(fmap1: Array, fmap2: Array, coords: Array,
