@@ -83,6 +83,116 @@ def test_auto_sampler_falls_back_exactly():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_point_sampler_matches_bilinear_sample(padding_mode):
+    """_bilinear_point_sample must equal bilinear_sample at scattered
+    (b, x, y) points, including out-of-range coordinates."""
+    from understanding_flow_robustness_tpu.ops.interp import (
+        _bilinear_point_sample,
+    )
+
+    B, H, W, C = 3, 24, 40, 5
+    img = jnp.asarray(RNG.rand(B, H, W, C).astype(np.float32))
+    K = 64
+    b = jnp.asarray(RNG.randint(0, B, K))
+    x = jnp.asarray((RNG.rand(K) * (W + 20) - 10).astype(np.float32))
+    y = jnp.asarray((RNG.rand(K) * (H + 20) - 10).astype(np.float32))
+    got = _bilinear_point_sample(img, b, x, y, padding_mode)
+    ref = np.stack([
+        np.asarray(
+            bilinear_sample(
+                img[int(bi)][None], jnp.asarray([[xv]]), jnp.asarray([[yv]]),
+                padding_mode=padding_mode,
+            )
+        )[0, 0]
+        for bi, xv, yv in zip(np.asarray(b), np.asarray(x), np.asarray(y))
+    ])
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_auto_sampler_corrects_few_violations(padding_mode):
+    """A handful of escaped pixels must take the kernel + tile-correction
+    path (not the full gather fallback) and still be exact."""
+    B, H, W, C = 1, 48, 512, 3
+    img = jnp.asarray(RNG.rand(B, H, W, C).astype(np.float32))
+    sy, sx = _coords(H, W, B, sigma=2)
+    sx = np.array(sx)
+    sx[0, 10, 100:110] += 300.0  # 10 escaped pixels inside one tile
+    sx = jnp.asarray(sx)
+    if padding_mode == "border":
+        csx, csy = jnp.clip(sx, 0, W - 1), jnp.clip(sy, 0, H - 1)
+    else:
+        csx, csy = sx, sy
+    from understanding_flow_robustness_tpu.ops.interp import (
+        _WARP_DENSE_TILE_BUDGET,
+        _WARP_SPARSE_TILE_BUDGET,
+        _WARP_PER_TILE,
+    )
+    from understanding_flow_robustness_tpu.ops.pallas.warp_tile import (
+        warp_tiled_violation_plan,
+    )
+
+    _, tile_counts, viol = warp_tiled_violation_plan(
+        img.shape, csy, csx, ry=16, rx=16,
+        zeros_mode=padding_mode == "zeros",
+    )
+    # within correction budgets (the escaped pixels plus tile-mates their
+    # dragged slab origin strands): correction path, exact
+    counts = np.asarray(tile_counts).reshape(-1)
+    assert 0 < int(viol)
+    assert (counts > _WARP_PER_TILE).sum() <= _WARP_DENSE_TILE_BUDGET
+    assert (
+        (counts > 0) & (counts <= _WARP_PER_TILE)
+    ).sum() <= _WARP_SPARSE_TILE_BUDGET
+    out = bilinear_sample_auto(
+        img, sx, sy, padding_mode=padding_mode, ry=16, rx=16, interpret=True
+    )
+    ref = bilinear_sample(img, sx, sy, padding_mode=padding_mode)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_auto_sampler_corrects_scattered_violations(padding_mode):
+    """Heavy-tail case: isolated escaped pixels scattered over many tiles
+    (the sparse searchsorted correction path) plus one dense cluster (the
+    whole-tile path), simultaneously — still exact."""
+    B, H, W, C = 2, 64, 512, 3
+    img = jnp.asarray(RNG.rand(B, H, W, C).astype(np.float32))
+    sy, sx = _coords(H, W, B, sigma=1)
+    sx = np.array(sx)
+    # ~48 isolated pixels spread over distinct tiles
+    for k in range(48):
+        b, r, c = k % B, (k * 7) % H, (k * 83) % W
+        sx[b, r, c] += 200.0 * (1 if k % 2 else -1)
+    sx[0, 20:28, 300:360] += 300.0  # dense cluster: >16 viol in its tiles
+    sx = jnp.asarray(sx)
+    out = bilinear_sample_auto(
+        img, sx, sy, padding_mode=padding_mode, ry=16, rx=16, interpret=True
+    )
+    ref = bilinear_sample(img, sx, sy, padding_mode=padding_mode)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_padded_region_violations_do_not_count():
+    """Coords whose violations lie only in the TH/TW padding region (edge
+    replication) must not trigger fallback or correction — their kernel
+    output is cropped."""
+    from understanding_flow_robustness_tpu.ops.pallas.warp_tile import (
+        warp_tiled_violation_mask,
+    )
+
+    B, H, W = 1, 44, 256  # H not a multiple of TH=8 -> 4 padded rows
+    sy, sx = _coords(H, W, B, sigma=1)
+    sy = jnp.clip(sy, 0, H - 1)
+    sx = jnp.clip(sx, 0, W - 1)
+    mask, viol = warp_tiled_violation_mask(
+        (B, H, W, 3), sy, sx, ry=16, rx=16, zeros_mode=False
+    )
+    assert mask.shape == (B, H, W)
+    assert int(viol) == int(np.asarray(mask).sum())
+
+
 def test_auto_sampler_gradients_match_gather():
     """custom_vjp backward must equal AD through the gather formulation."""
     B, H, W, C = 1, 32, 128, 2

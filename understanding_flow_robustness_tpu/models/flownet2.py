@@ -21,6 +21,17 @@ from ..ops import channel_norm, resize_bilinear, upsample_nearest, warp_backward
 from .flownet_family import flownetc_normalize
 from .layers import ConvBlock, DeconvBlock, TorchConv, TorchConvTranspose
 
+
+def _stage_input(x):
+    """Materialize a cascade stage's full-res input concat exactly once.
+
+    Without the barrier XLA fuses the inter-stage glue (warp + channel
+    norms + 12-channel concat) into several of the consumer sub-net's
+    convolution fusions, re-computing it per consumer: measured +46 ms per
+    stage at batch 8 384x1280 on v5e (84.5 -> 38.4 ms for the CS stage —
+    PERF.md).  Semantically the identity."""
+    return jax.lax.optimization_barrier(x)
+
 Array = jax.Array
 
 
@@ -371,9 +382,9 @@ class FlowNet2CS(nn.Module):
         for i in range(self.stages):
             resampled1 = warp_backward(img1, flow, mode="border")
             norm_diff0 = channel_norm(img0 - resampled1)
-            concat = jnp.concatenate(
+            concat = _stage_input(jnp.concatenate(
                 [x, resampled1, flow / self.div_flow, norm_diff0], axis=-1
-            )
+            ))
             flow2 = FlowNet2SSub(
                 self.batch_norm, self.dtype, name=f"flownets_{i + 1}"
             )(concat)[0]
@@ -416,9 +427,9 @@ class FlowNet2(nn.Module):
         resampled1 = warp_backward(img1, flownetc_flow, mode="border")
         diff0 = img0 - resampled1
         norm_diff0 = channel_norm(diff0)
-        concat1 = jnp.concatenate(
+        concat1 = _stage_input(jnp.concatenate(
             [x, resampled1, flownetc_flow / self.div_flow, norm_diff0], axis=-1
-        )
+        ))
 
         # --- FlowNetS1 (flownet2_models.py:143-155)
         flownets1_flow2 = FlowNet2SSub(
@@ -428,9 +439,9 @@ class FlowNet2(nn.Module):
 
         resampled1 = warp_backward(img1, flownets1_flow, mode="border")
         norm_diff0 = channel_norm(img0 - resampled1)
-        concat2 = jnp.concatenate(
+        concat2 = _stage_input(jnp.concatenate(
             [x, resampled1, flownets1_flow / self.div_flow, norm_diff0], axis=-1
-        )
+        ))
 
         # --- FlowNetS2 (flownet2_models.py:157-169); nearest x4 upsample
         flownets2_flow2 = FlowNet2SSub(
@@ -451,11 +462,11 @@ class FlowNet2(nn.Module):
         diff_flownetsd_img1 = channel_norm(img0 - diff_flownetsd)
 
         # --- Fusion (flownet2_models.py:185-203)
-        concat3 = jnp.concatenate(
+        concat3 = _stage_input(jnp.concatenate(
             [img0, flownetsd_flow, flownets2_flow,
              norm_flownetsd_flow, norm_flownets2_flow,
              diff_flownetsd_img1, diff_flownets2_img1], axis=-1
-        )
+        ))
         flow = FlowNetFusion(
             self.batch_norm, self.dtype, name="flownetfusion"
         )(concat3)

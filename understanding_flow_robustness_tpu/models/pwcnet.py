@@ -106,7 +106,11 @@ class PWCNet(nn.Module):
             corr = correlate_pwc(c1[i], warped)
             feats_out[f"corr{lvl}"] = corr
             corr = leaky_relu(corr)
-            x = jnp.concatenate([corr, c1[i], up_flow, up_feat], axis=-1)
+            # barrier: see models/flownet2.py::_stage_input (XLA otherwise
+            # duplicates the warp/corr glue across decoder conv fusions)
+            x = jax.lax.optimization_barrier(
+                jnp.concatenate([corr, c1[i], up_flow, up_feat], axis=-1)
+            )
             x, flow = dense_decoder(x, lvl)
             flows[lvl] = flow
             if lvl > 2:

@@ -105,7 +105,13 @@ class SpyNet(nn.Module):
                 up = jnp.pad(up, ((0, 0), (0, 0), (0, 1), (0, 0)), mode="edge")
 
             warped = warp_backward(x2[level], up, mode="spynet")
-            inp = jnp.concatenate([x1[level], warped, up], axis=-1)
+            # materialize the level input once: without the barrier XLA
+            # re-fuses the warp + concat into several G-unit conv fusions
+            # (same pathology as the FlowNet2 cascade, models/flownet2.py
+            # _stage_input)
+            inp = jax.lax.optimization_barrier(
+                jnp.concatenate([x1[level], warped, up], axis=-1)
+            )
             flow = (
                 SpyNetBasic(dtype=self.dtype, use_s2d=self.use_s2d,
                             name=f"basic{level}")(inp) + up

@@ -185,6 +185,139 @@ def coords_grid(height: int, width: int, dtype=jnp.float32) -> Array:
 
 _WARP_TILED_DEFAULT_RY = 32
 _WARP_TILED_DEFAULT_RX = 64
+# Bounded exact correction of kernel-violating pixels, two granularities
+# (the all-or-nothing fallback this replaces paid the full 18x gather
+# penalty for a single escaped pixel, and jnp.nonzero over the per-pixel
+# mask costs 27 ms at FlowNet2 geometry — measured — so selection happens
+# over ~60K per-tile counts instead):
+#  * SPARSE tiles (<= _PER_TILE violations: smooth flows strand a handful
+#    of isolated pixels — 80 of 3.9M for a x4-upsampled random field, or
+#    ~700 heavy-tail pixels for a random-weight cascade) — per-pixel
+#    correction located by a 2-D rank cumsum + per-row searchsorted.
+#  * DENSE tiles (> _PER_TILE violations: a motion discontinuity inside
+#    one tile drags the slab origin and strands a large fraction of the
+#    tile) — every pixel of the tile re-sampled; harmless where the
+#    kernel was already exact (identical values).
+# Fallback to the full gather only past both budgets.
+_WARP_SPARSE_TILE_BUDGET = 1024
+_WARP_DENSE_TILE_BUDGET = 64
+_WARP_PER_TILE = 16
+
+
+def _bilinear_point_sample(img: Array, b: Array, x: Array, y: Array,
+                           padding_mode: str) -> Array:
+    """Exact per-point bilinear sampling: img (B, H, W, C), b/x/y (K,)
+    batch indices + pixel coordinates -> (K, C).  Value-identical to
+    ``bilinear_sample`` at (b, x, y) (tested)."""
+    B, H, W, C = img.shape
+    compute_dtype = img.dtype
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(compute_dtype)[:, None]
+    wy = (y - y0).astype(compute_dtype)[:, None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = img.reshape(B * H * W, C)
+    base = b * (H * W)
+
+    def tap(yi, xi):
+        v = jnp.take(
+            flat,
+            base + jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1),
+            axis=0,
+        )
+        if padding_mode == "zeros":
+            valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            v = v * valid[:, None].astype(compute_dtype)
+        return v
+
+    one = jnp.ones((), compute_dtype)
+    return (
+        tap(y0i, x0i) * (one - wy) * (one - wx)
+        + tap(y0i, x0i + 1) * (one - wy) * wx
+        + tap(y0i + 1, x0i) * wy * (one - wx)
+        + tap(y0i + 1, x0i + 1) * wy * wx
+    )
+
+
+def _correct_at(out: Array, img: Array, x: Array, y: Array, b: Array,
+                pix: Array, padding_mode: str) -> Array:
+    """Overwrite ``out`` at flat pixel indices ``pix`` (batch indices
+    ``b``) with the exact gather-formulation bilinear value.  Every
+    written value is the EXACT value at its pixel, so duplicate writes
+    (fill slots, clamped boundary overlaps, pixels the kernel already got
+    right) all carry identical values — scatter order cannot matter."""
+    B, H, W, C = img.shape
+    corrected = _bilinear_point_sample(
+        img, b,
+        jnp.take(x.reshape(-1), pix),
+        jnp.take(y.reshape(-1), pix),
+        padding_mode,
+    )
+    outf = out.reshape(B * H * W, C)
+    return outf.at[pix].set(corrected.astype(out.dtype)).reshape(B, H, W, C)
+
+
+def _correct_whole_tiles(out: Array, img: Array, x: Array, y: Array,
+                         flags: Array, T: int, budget: int,
+                         padding_mode: str) -> Array:
+    """Re-sample EVERY pixel of <= budget flagged tiles (flags: (B*T,)
+    bool, row-major tiles of the padded TH x TW grid)."""
+    from .pallas.warp_tile import TH, TW
+
+    B, H, W, C = img.shape
+    ntx = (W + (-W) % TW) // TW
+    P = TH * TW
+    (tidx,) = jnp.nonzero(flags, size=min(budget, B * T), fill_value=0)
+    b = tidx // T
+    t = tidx % T
+    # absolute pixel coordinates, clamped into the real image (padded-grid
+    # tiles straddling the boundary re-correct edge pixels — harmless)
+    rows = jnp.clip(
+        (t // ntx)[:, None] * TH + jnp.arange(TH)[None, :], 0, H - 1
+    )  # (K, TH)
+    cols = jnp.clip(
+        (t % ntx)[:, None] * TW + jnp.arange(TW)[None, :], 0, W - 1
+    )  # (K, TW)
+    pix = (
+        (b[:, None, None] * H + rows[:, :, None]) * W + cols[:, None, :]
+    ).reshape(-1)
+    return _correct_at(out, img, x, y, jnp.repeat(b, P), pix, padding_mode)
+
+
+def _correct_sparse_tiles(out: Array, img: Array, x: Array, y: Array,
+                          viol_tp: Array, flags: Array, budget: int,
+                          per_tile: int, padding_mode: str) -> Array:
+    """Correct up to ``per_tile`` violating pixels in each of <= budget
+    flagged tiles.  viol_tp: (B, T, P) tile-major per-pixel violations.
+    Pixel positions inside each selected tile are located by a rank
+    cumsum + per-row searchsorted (rank j's first index IS the j-th
+    violating pixel), avoiding any large flat nonzero."""
+    from .pallas.warp_tile import TH, TW
+
+    B, H, W, C = img.shape
+    ntx = (W + (-W) % TW) // TW
+    T, P = viol_tp.shape[1], viol_tp.shape[2]
+    (tidx,) = jnp.nonzero(flags, size=min(budget, B * T), fill_value=0)
+    sel = jnp.take(viol_tp.reshape(B * T, P), tidx, axis=0)  # (K, P)
+    ranks = jnp.cumsum(sel.astype(jnp.int32), axis=1)
+    q = jnp.arange(1, per_tile + 1)
+    pos = jax.vmap(lambda r: jnp.searchsorted(r, q, side="left"))(ranks)
+    # j > count slots point at the tile's pixel 0: exact rewrite, harmless
+    pos = jnp.where(q[None, :] <= ranks[:, -1:], pos, 0)  # (K, per_tile)
+    b = tidx // T
+    t = tidx % T
+    rows = jnp.clip((t // ntx)[:, None] * TH + pos // TW, 0, H - 1)
+    cols = jnp.clip((t % ntx)[:, None] * TW + pos % TW, 0, W - 1)
+    pix = ((b[:, None] * H + rows) * W + cols).reshape(-1)
+    return _correct_at(
+        out, img, x, y, jnp.repeat(b, per_tile), pix, padding_mode
+    )
 
 
 def _tiled_eligible(img_shape, ry, rx):
@@ -204,9 +337,13 @@ def _tiled_eligible(img_shape, ry, rx):
 
 @functools.lru_cache(maxsize=None)
 def _make_sample_exact(padding_mode: str, ry: int, rx: int, interpret: bool):
-    """custom_vjp sampler: tiled-kernel forward with exact gather fallback;
-    gather-formulation backward."""
-    from .pallas.warp_tile import warp_tiled_sample, warp_tiled_violations
+    """custom_vjp sampler: tiled-kernel forward with exact bounded
+    scatter-correction of violating pixels (gather fallback only past the
+    correction budget); gather-formulation backward."""
+    from .pallas.warp_tile import (
+        warp_tiled_sample,
+        warp_tiled_violation_plan,
+    )
 
     def _forward(img, x, y):
         H, W = img.shape[1:3]
@@ -217,18 +354,47 @@ def _make_sample_exact(padding_mode: str, ry: int, rx: int, interpret: bool):
             sx, sy = x, y
         zeros = padding_mode == "zeros"
         # violation test first (cheap, elementwise): the cond then runs
-        # EITHER the kernel OR the gather — a violating input never pays
-        # for both paths
-        viol = warp_tiled_violations(
+        # EITHER the kernel OR the gather — a heavily-violating input
+        # never pays for both paths.  A lightly-violating one (the common
+        # real-flow case) runs the kernel and exactly patches the
+        # violations at two granularities (see the budget constants).
+        viol_tp, tile_counts, viol = warp_tiled_violation_plan(
             img.shape, sy, sx, ry=ry, rx=rx, zeros_mode=zeros
         )
-        return lax.cond(
-            viol > 0,
-            lambda: bilinear_sample(img, x, y, padding_mode=padding_mode),
-            lambda: warp_tiled_sample(
+        T = tile_counts.shape[1]
+        flat_counts = tile_counts.reshape(-1)
+        dense = flat_counts > _WARP_PER_TILE
+        sparse = (flat_counts > 0) & ~dense
+        n_dense = jnp.sum(dense.astype(jnp.int32))
+        n_sparse = jnp.sum(sparse.astype(jnp.int32))
+
+        def kernel_path():
+            out = warp_tiled_sample(
                 img, sy, sx, ry=ry, rx=rx, zeros_mode=zeros,
                 interpret=interpret,
-            )[0],
+            )[0]
+
+            def correct():
+                o = _correct_sparse_tiles(
+                    out, img, x, y, viol_tp, sparse,
+                    _WARP_SPARSE_TILE_BUDGET, _WARP_PER_TILE, padding_mode,
+                )
+                return lax.cond(
+                    n_dense > 0,
+                    lambda: _correct_whole_tiles(
+                        o, img, x, y, dense, T, _WARP_DENSE_TILE_BUDGET,
+                        padding_mode,
+                    ),
+                    lambda: o,
+                )
+
+            return lax.cond(viol > 0, correct, lambda: out)
+
+        return lax.cond(
+            (n_dense > _WARP_DENSE_TILE_BUDGET)
+            | (n_sparse > _WARP_SPARSE_TILE_BUDGET),
+            lambda: bilinear_sample(img, x, y, padding_mode=padding_mode),
+            kernel_path,
         )
 
     @jax.custom_vjp

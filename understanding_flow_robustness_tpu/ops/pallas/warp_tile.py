@@ -187,8 +187,17 @@ def _plan_tiles(img_shape, sy, sx, ry, rx, zeros_mode):
         return v0 | v1
 
     viol = tap_viol(syt, start_y, sh, H) | tap_viol(sxt, start_x, sw, W)
-    violations = jnp.sum(viol.astype(jnp.int32))
-    return syt, sxt, start_y, start_x, violations
+    # count REAL pixels only: the padded region's edge-replicated coords
+    # can "violate" but their kernel output is cropped anyway, so they
+    # must neither trigger a fallback nor need correction
+    if ph or pw:
+        valid = jnp.pad(
+            jnp.ones((B, H, W), bool), ((0, 0), (0, ph), (0, pw))
+        )
+        viol = viol & tiles(valid)
+    tile_counts = jnp.sum(viol.astype(jnp.int32), axis=2)  # (B, T)
+    violations = jnp.sum(tile_counts)
+    return syt, sxt, start_y, start_x, viol, tile_counts, violations
 
 
 def warp_tiled_violations(
@@ -197,7 +206,43 @@ def warp_tiled_violations(
 ) -> Array:
     """Just the violation count for (img_shape, coords, radii) — cheap;
     run before the kernel to pick a path without paying for both."""
-    return _plan_tiles(img_shape, sy, sx, ry, rx, zeros_mode)[4]
+    return _plan_tiles(img_shape, sy, sx, ry, rx, zeros_mode)[6]
+
+
+def warp_tiled_violation_mask(
+    img_shape, sy: Array, sx: Array, ry: int = 32, rx: int = 64,
+    zeros_mode: bool = False,
+) -> tuple[Array, Array]:
+    """Per-pixel (B, H, W) bool violation mask + scalar count.
+
+    A pixel violates when its bilinear support escapes its tile's slab —
+    the kernel's value there is wrong and must be patched (the bounded
+    tile correction in ops.interp) or the whole call routed to the
+    gather path."""
+    B, H, W, C = img_shape
+    hp, wp, _, _ = _tile_geometry(img_shape, ry, rx)
+    plan = _plan_tiles(img_shape, sy, sx, ry, rx, zeros_mode)
+    viol = plan[4]
+    nty, ntx = hp // TH, wp // TW
+    mask = (
+        viol.reshape(B, nty, ntx, TH, TW)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, hp, wp)[:, :H, :W]
+    )
+    return mask, plan[6]
+
+
+def warp_tiled_violation_plan(
+    img_shape, sy: Array, sx: Array, ry: int = 32, rx: int = 64,
+    zeros_mode: bool = False,
+) -> tuple[Array, Array, Array]:
+    """(viol (B, T, P) bool tile-major, tile_counts (B, T) int32, total) —
+    tile order row-major over the TH x TW grid of the padded image.  The
+    cheap selection domain for the bounded correction: violations cluster,
+    and compacting ~60K tile flags costs ~400x less than compacting the
+    per-pixel mask (a 27 ms cumsum at FlowNet2 geometry — measured)."""
+    plan = _plan_tiles(img_shape, sy, sx, ry, rx, zeros_mode)
+    return plan[4], plan[5], plan[6]
 
 
 @functools.partial(
@@ -228,7 +273,7 @@ def warp_tiled_sample(
             f"slab ({sh}x{sw}) larger than padded image ({Hp}x{Wp}); "
             "shrink ry/rx or use the gather path"
         )
-    syt, sxt, start_y, start_x, violations = _plan_tiles(
+    syt, sxt, start_y, start_x, _, _, violations = _plan_tiles(
         img.shape, sy, sx, ry, rx, zeros_mode
     )
     if Hp != H or Wp != W:
