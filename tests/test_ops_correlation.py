@@ -429,6 +429,66 @@ def test_alt_corr_pallas_backward_matches_reference_vjp(padded):
             np.asarray(o), np.asarray(r), atol=2e-4)
 
 
+def test_corr_lookup_padded_matches_compact():
+    """The padded lane-stacked volume lookup must carry the compact
+    lookup's values at channel t*(L*16) + l*16 + s (real window
+    positions; junk lanes unchecked) and its VJP must equal the mxu
+    path's under the zero-junk-cotangent invariant."""
+    from understanding_flow_robustness_tpu.ops import (
+        all_pairs_correlation,
+        corr_lookup,
+        corr_lookup_padded,
+        corr_pyramid,
+    )
+    from understanding_flow_robustness_tpu.ops.interp import coords_grid
+
+    rng = np.random.RandomState(3)
+    B, H, W, C, L, r = 2, 16, 24, 8, 3, 2
+    n = 2 * r + 1
+    f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    pyramid = corr_pyramid(all_pairs_correlation(f1, f2), L)
+    coords = jnp.asarray(coords_grid(H, W))[None] + jnp.asarray(
+        rng.randn(B, H, W, 2).astype(np.float32) * 2
+    )
+
+    padded = corr_lookup_padded(tuple(pyramid), coords, r, None,
+                                interpret=True)
+    compact = corr_lookup(pyramid, coords, r, impl="mxu")
+    assert padded.shape == (B, H, W, L * 256)
+    p6 = np.asarray(padded).reshape(B, H, W, 16, L, 16)
+    c5 = np.asarray(compact).reshape(B, H, W, L, n, n)  # [l, s, t]
+    for l in range(L):
+        np.testing.assert_allclose(
+            p6[..., :n, l, :n], c5[:, :, :, l].transpose(0, 1, 2, 4, 3),
+            atol=1e-5,
+        )
+
+    # VJP with a junk-zero cotangent == mxu VJP with the compact cotangent
+    g = np.zeros((B, H, W, 16, L, 16), np.float32)
+    gc = rng.randn(B, H, W, L, n, n).astype(np.float32)  # [l, s, t]
+    for l in range(L):
+        g[..., :n, l, :n] = gc[:, :, :, l].transpose(0, 1, 2, 4, 3)
+
+    def via_padded(pyr, c):
+        out = corr_lookup_padded(tuple(pyr), c, r, None, interpret=True)
+        return jnp.sum(out * jnp.asarray(g.reshape(B, H, W, -1)))
+
+    def via_mxu(pyr, c):
+        out = corr_lookup(pyr, c, r, impl="mxu")
+        gref = np.concatenate(
+            [gc[:, :, :, l].reshape(B, H, W, n * n) for l in range(L)],
+            axis=-1,
+        )
+        return jnp.sum(out * jnp.asarray(gref))
+
+    gp = jax.grad(via_padded, argnums=(0, 1))(pyramid, coords)
+    gm = jax.grad(via_mxu, argnums=(0, 1))(pyramid, coords)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_padded_window_invariant_helper():
     """ADVICE: the padded layout's t/s >= 2r+1 lanes carry live samples on
     the kernel path; check_padded_window_unused verifies a consumer's

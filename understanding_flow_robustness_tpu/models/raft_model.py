@@ -37,6 +37,7 @@ from ..ops import (
     avg_pool2,
     coords_grid,
     corr_lookup,
+    corr_lookup_padded,
     corr_pyramid,
     resize_bilinear,
     spatial_correlation,
@@ -556,10 +557,21 @@ class RAFT(nn.Module):
         if flow_init is not None:
             coords1 = coords1 + flow_init
 
-        # The padded fused layout (16x16 window blocks, junk channels zero)
-        # feeds PaddedCorrConv1x1 directly; the small model keeps the
-        # compact layout (its motion encoder is not padded-aware).
+        # The padded fused layout (16x16 window blocks, junk channels
+        # zero-weighted) feeds PaddedCorrConv1x1 directly; the small model
+        # keeps the compact layout (its motion encoder is not padded-aware).
         use_alt_padded = use_alt and not self.small
+        # Volume path on TPU (feature taps / corr_impl="volume"): the
+        # fused Pallas kernel with the same padded consumption — its
+        # compact-layout form lost its per-level win to the [t,s]->[s,t]
+        # relayout (PERF.md design history #2); emitting the lane-stacked
+        # padded layout removes that relayout.
+        use_vol_padded = (
+            not use_alt
+            and not self.compute_spatial
+            and not self.small
+            and jax.default_backend() == "tpu"
+        )
         if use_alt:
             lookup = lambda pyr, c: alt_corr_features(
                 fmap1, fmap2, c, self.corr_levels, self.radius,
@@ -567,6 +579,10 @@ class RAFT(nn.Module):
             )
         elif self.compute_spatial:
             lookup = _spatial_corr_lookup
+        elif use_vol_padded:
+            lookup = lambda pyr, c: corr_lookup_padded(
+                tuple(pyr), c, self.radius, compute_dtype
+            )
         else:
             # bf16 lookup traffic under mixed precision: the window lookup
             # is HBM-bound on the (N, H/8, W/8) volume, accumulation f32
@@ -586,7 +602,8 @@ class RAFT(nn.Module):
             update_block = BasicUpdateBlock(
                 cor_planes, hdim, dtype=compute_dtype,
                 padded_corr_levels=(
-                    self.corr_levels if use_alt_padded else 0
+                    self.corr_levels
+                    if (use_alt_padded or use_vol_padded) else 0
                 ),
                 name="update_block",
             )

@@ -5,6 +5,7 @@ from .correlation import (
     alt_corr_features,
     channel_norm,
     corr_lookup,
+    corr_lookup_padded,
     corr_pyramid,
     spatial_correlation,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "compute_pad",
     "coords_grid",
     "corr_lookup",
+    "corr_lookup_padded",
     "corr_pyramid",
     "grid_sample",
     "nearest_sample",

@@ -278,10 +278,12 @@ def corr_lookup(pyramid: list[Array], coords: Array, radius: int = 4,
     reference), but it materializes selector/intermediate tensors in HBM.
     """
     if impl is None:
-        # TODO(perf): the fused kernel beats the mxu path per level in
-        # isolation, but its output relayout (16x16 -> transposed 9x9
-        # channels) currently dominates in the full model; auto stays on
-        # "mxu" until that is folded into the kernel.
+        # auto stays on "mxu" for the COMPACT reference layout: the fused
+        # kernel beats it per level but loses its win to the 16x16 ->
+        # transposed-9x9 output relayout the compact layout forces.  The
+        # relayout-free resolution is ``corr_lookup_padded`` (lane-stacked
+        # padded layout + zero-weighted consumption), which RAFT's volume
+        # path now uses on TPU (models/raft_model.py use_vol_padded).
         impl = "mxu"
     if impl == "gather":
         return _corr_lookup_gather(pyramid, coords, radius)
@@ -314,6 +316,61 @@ def _corr_lookup_pallas_bwd(radius, compute_dtype, res, g):
 
 _corr_lookup_pallas_vjp.defvjp(_corr_lookup_pallas_fwd,
                                _corr_lookup_pallas_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def corr_lookup_padded(pyramid, coords, radius: int = 4,
+                       compute_dtype=None, interpret: bool = False):
+    """RAFT window lookup emitting the PADDED lane-stacked layout
+    (B, H1, W1, L*256), channel t*(L*16) + l*16 + s — consumed directly
+    by the fused motion encoder (models/raft_model.py::PaddedCorrConv1x1)
+    with no relayout.  Forward: fused Pallas kernel
+    (ops/pallas/corr_lookup_fused.py); gradients route through the "mxu"
+    formulation (identical math on the real window channels).
+
+    INVARIANT: channels at window positions t or s >= 2r+1 are LIVE hat
+    samples past the window — consumers must weight them by zero (the
+    backward assumes their cotangents are zero; PaddedCorrConv1x1's
+    zero-scattered kernel guarantees both)."""
+    from .pallas.corr_lookup_fused import corr_lookup_pallas_padded
+
+    return corr_lookup_pallas_padded(list(pyramid), coords, radius,
+                                     compute_dtype, interpret=interpret)
+
+
+def _corr_lookup_padded_fwd(pyramid, coords, radius, compute_dtype,
+                            interpret):
+    out = corr_lookup_padded(pyramid, coords, radius, compute_dtype,
+                             interpret)
+    return out, (pyramid, coords)
+
+
+def _corr_lookup_padded_bwd(radius, compute_dtype, interpret, res, g):
+    pyramid, coords = res
+    B, H1, W1, _ = g.shape
+    n = 2 * radius + 1
+    L = len(pyramid)
+    # padded channel t*(L*16) + l*16 + s -> compact level-l channel
+    # s*n + t (the reference's transposed order); junk-lane cotangents
+    # are zero by the consumer invariant, so slicing loses nothing
+    g6 = g.astype(jnp.float32).reshape(B, H1, W1, 16, L, 16)
+    gc = jnp.concatenate(
+        [
+            g6[..., :n, l, :n].transpose(0, 1, 2, 4, 3).reshape(
+                B, H1, W1, n * n
+            )
+            for l in range(L)
+        ],
+        axis=-1,
+    )
+    _, vjp = jax.vjp(
+        lambda p, c: _corr_lookup_mxu(list(p), c, radius, compute_dtype),
+        pyramid, coords,
+    )
+    return vjp(gc)
+
+
+corr_lookup_padded.defvjp(_corr_lookup_padded_fwd, _corr_lookup_padded_bwd)
 
 
 def _corr_lookup_mxu(pyramid: list[Array], coords: Array, radius: int,

@@ -94,14 +94,20 @@ def _lookup_kernel(cy_ref, cx_ref, vol_ref, out_ref, *, hl, wl, tq,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "tile", "interpret")
+    jax.jit, static_argnames=("radius", "tile", "interpret", "full_window")
 )
 def lookup_level(vol: Array, coords: Array, radius: int,
-                 tile: int | None = None, interpret: bool = False) -> Array:
+                 tile: int | None = None, interpret: bool = False,
+                 full_window: bool = False) -> Array:
     """vol: (N, Hl, Wl) correlation images (bf16 recommended — the kernel
     streams this once per call).  coords: (N, 2) level-scaled (x, y)
     window centers.  Returns (N, n, n) f32 with out[q, t, s] = bilinear
-    sample at (y = cy - r + t, x = cx - r + s), zeros outside."""
+    sample at (y = cy - r + t, x = cx - r + s), zeros outside.
+
+    full_window=True returns the raw (N, 16, 16) kernel block instead:
+    positions t or s >= n carry LIVE hat samples past the window (junk) —
+    consumers must zero-weight or ignore them (the padded-layout
+    invariant, see ops.correlation.corr_lookup_padded)."""
     n = 2 * radius + 1
     assert n + 1 <= _TILE_P, "radius too large for the 16-wide window tile"
     N, hl, wl = vol.shape
@@ -144,6 +150,8 @@ def lookup_level(vol: Array, coords: Array, radius: int,
         interpret=interpret,
     )(cy[:, None, None], cx[:, None, None], vol)
 
+    if full_window:
+        return out[:N]
     return out[:N, :n, :n]
 
 
@@ -166,3 +174,38 @@ def corr_lookup_pallas(pyramid: list[Array], coords: Array, radius: int = 4,
         patch = patch.reshape(B, N, n, n).transpose(0, 1, 3, 2)
         out.append(patch.reshape(B, H1, W1, n * n).astype(coords.dtype))
     return jnp.concatenate(out, axis=-1)
+
+
+def corr_lookup_pallas_padded(pyramid: list[Array], coords: Array,
+                              radius: int = 4, compute_dtype=None,
+                              interpret: bool = False) -> Array:
+    """Volume lookup emitting the PADDED lane-stacked layout the fused
+    motion encoder consumes directly (models/raft_model.py::
+    PaddedCorrConv1x1): (B, H1, W1, L*256) with level l's window sample
+    (t, s) at channel t*(L*16) + l*16 + s.
+
+    This skips the minor-dim [t,s]->[s,t] transpose + 9-of-16 slice that
+    the compact reference layout forces (the relayout that previously ate
+    the kernel's per-level win end-to-end — PERF.md design history #2):
+    the level stack keeps s lane-minor untouched.  Channels at t or
+    s >= 2r+1 are LIVE junk samples — the consumer must zero-weight them
+    (PaddedCorrConv1x1 does; same invariant as ops.alt_corr_features)."""
+    B, H1, W1, _ = coords.shape
+    N = H1 * W1
+    L = len(pyramid)
+    outs = []
+    for i, corr in enumerate(pyramid):
+        hl, wl = corr.shape[2], corr.shape[3]
+        vol = corr.reshape(B * N, hl, wl)
+        if compute_dtype is not None and vol.dtype != compute_dtype:
+            vol = vol.astype(compute_dtype)
+        c = coords.reshape(B * N, 2) / (2 ** i)
+        outs.append(
+            lookup_level(vol, c, radius, interpret=interpret,
+                         full_window=True)
+        )
+    st = jnp.stack(outs, axis=2)  # (B*N, 16, L, 16): t-major, s lane-minor
+    out = st.reshape(B, H1, W1, _TILE_P * L * _TILE_P)
+    if compute_dtype is not None:
+        out = out.astype(compute_dtype)
+    return out
