@@ -168,18 +168,42 @@ class FlowNet2SSub(nn.Module):
 
 class FlowNetSD(nn.Module):
     """models/flownet2/FlowNetSD.py:11-103 — small-displacement net with
-    inter_conv feature heads before each flow prediction."""
+    inter_conv feature heads before each flow prediction.
+
+    The full-resolution head (stride-1 conv0 into stride-2 conv1, 64
+    channels at 384x1280) runs in space-to-depth layout on TPU — conv0's
+    output feeds only conv1, which consumes the s2d activation directly
+    (``s2d_in``).  Exact; parameter shapes unchanged.
+    """
 
     batch_norm: bool = False
     dtype: Optional[Any] = None
+    use_s2d: Optional[bool] = None  # None = auto (TPU + even dims)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False):
+        s2d = self.use_s2d
+        if s2d is None:
+            s2d = (
+                jax.default_backend() == "tpu"
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+            )
         kw = dict(batch_norm=self.batch_norm, dtype=self.dtype, train=train)
-        out_conv0 = ConvBlock(64, 3, 1, name="conv0", **kw)(x)
-        out_conv1 = ConvBlock(128, 3, 1, name="conv1_1", **kw)(
-            ConvBlock(64, 3, 2, name="conv1", **kw)(out_conv0)
-        )
+        if s2d:
+            from ..ops.s2d import space_to_depth
+
+            out_conv0 = ConvBlock(64, 3, 1, s2d=True, name="conv0", **kw)(
+                space_to_depth(x)
+            )
+            out_conv1 = ConvBlock(128, 3, 1, name="conv1_1", **kw)(
+                ConvBlock(64, 3, 2, s2d_in=True, name="conv1", **kw)(out_conv0)
+            )
+        else:
+            out_conv0 = ConvBlock(64, 3, 1, name="conv0", **kw)(x)
+            out_conv1 = ConvBlock(128, 3, 1, name="conv1_1", **kw)(
+                ConvBlock(64, 3, 2, name="conv1", **kw)(out_conv0)
+            )
         out_conv2 = ConvBlock(128, 3, 1, name="conv2_1", **kw)(
             ConvBlock(128, 3, 2, name="conv2", **kw)(out_conv1)
         )
@@ -238,33 +262,64 @@ class FlowNetSD(nn.Module):
 
 class FlowNetFusion(nn.Module):
     """models/flownet2/FlowNetFusion.py:10-65 — 11-channel fusion net
-    returning full-resolution flow0."""
+    returning full-resolution flow0.
+
+    The full-resolution island (conv0, inter_conv0, predict_flow0, and the
+    two full-res upsamplers) is the cascade's last lane-starved hot spot
+    (16-64 output channels at 384x1280).  On TPU it runs entirely in 2x2
+    space-to-depth space (ops/s2d.py): one space_to_depth on the 11-channel
+    input, one depth_to_space on the 2-channel flow, everything between is
+    lane-dense stride-1 convs at half resolution — conv1 consumes the s2d
+    activation directly (s2d_in), deconv0/upsampled_flow1_to_0 emit s2d
+    layout (s2d_out), and inter_conv0's kernel is channel-permuted at trace
+    time to read the concatenated per-source s2d tensors.  Exact modulo
+    float reassociation; parameter shapes/names unchanged.
+    """
 
     batch_norm: bool = False
     dtype: Optional[Any] = None
+    use_s2d: Optional[bool] = None  # None = auto (TPU + even dims)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False):
+        s2d = self.use_s2d
+        if s2d is None:
+            s2d = (
+                jax.default_backend() == "tpu"
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+            )
         kw = dict(batch_norm=self.batch_norm, dtype=self.dtype, train=train)
-        out_conv0 = ConvBlock(64, 3, 1, name="conv0", **kw)(x)
-        out_conv1 = ConvBlock(128, 3, 1, name="conv1_1", **kw)(
-            ConvBlock(64, 3, 2, name="conv1", **kw)(out_conv0)
-        )
+
+        def pflow(name, **pkw):
+            return TorchConv(2, 3, 1, use_bias=True, dtype=self.dtype,
+                             name=name, **pkw)
+
+        def upflow(name, **ukw):
+            return TorchConvTranspose(2, 4, 2, 1, use_bias=True,
+                                      dtype=self.dtype, name=name, **ukw)
+
+        def iconv(feat, name, **ikw):
+            return ConvBlock(feat, 3, 1, act=None, name=name,
+                             batch_norm=self.batch_norm, dtype=self.dtype,
+                             train=train, **ikw)
+
+        if s2d:
+            from ..ops.s2d import depth_to_space, space_to_depth
+
+            xs = space_to_depth(x)
+            out_conv0 = ConvBlock(64, 3, 1, s2d=True, name="conv0", **kw)(xs)
+            out_conv1 = ConvBlock(128, 3, 1, name="conv1_1", **kw)(
+                ConvBlock(64, 3, 2, s2d_in=True, name="conv1", **kw)(out_conv0)
+            )
+        else:
+            out_conv0 = ConvBlock(64, 3, 1, name="conv0", **kw)(x)
+            out_conv1 = ConvBlock(128, 3, 1, name="conv1_1", **kw)(
+                ConvBlock(64, 3, 2, name="conv1", **kw)(out_conv0)
+            )
         out_conv2 = ConvBlock(128, 3, 1, name="conv2_1", **kw)(
             ConvBlock(128, 3, 2, name="conv2", **kw)(out_conv1)
         )
-
-        def pflow(name):
-            return TorchConv(2, 3, 1, use_bias=True, dtype=self.dtype, name=name)
-
-        def upflow(name):
-            return TorchConvTranspose(2, 4, 2, 1, use_bias=True,
-                                      dtype=self.dtype, name=name)
-
-        def iconv(feat, name):
-            return ConvBlock(feat, 3, 1, act=None, name=name,
-                             batch_norm=self.batch_norm, dtype=self.dtype,
-                             train=train)
 
         flow2 = pflow("predict_flow2")(out_conv2)
         concat1 = jnp.concatenate(
@@ -272,6 +327,17 @@ class FlowNetFusion(nn.Module):
              DeconvBlock(32, dtype=self.dtype, name="deconv1")(out_conv2),
              upflow("upsampled_flow2_to_1")(flow2)], axis=-1)
         flow1 = pflow("predict_flow1")(iconv(32, "inter_conv1")(concat1))
+        if s2d:
+            concat0 = jnp.concatenate(
+                [out_conv0,
+                 DeconvBlock(16, dtype=self.dtype, s2d_out=True,
+                             name="deconv0")(concat1),
+                 upflow("upsampled_flow1_to_0", s2d_out=True)(flow1)],
+                axis=-1)
+            flow0 = pflow("predict_flow0", s2d=True)(
+                iconv(16, "inter_conv0", s2d=True,
+                      s2d_concat=(64, 16, 2))(concat0))
+            return depth_to_space(flow0)
         concat0 = jnp.concatenate(
             [out_conv0,
              DeconvBlock(16, dtype=self.dtype, name="deconv0")(concat1),

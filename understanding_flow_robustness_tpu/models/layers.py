@@ -116,6 +116,16 @@ class TorchConv(nn.Module):
     # the s2d layout; the caller brackets the stack with
     # space_to_depth/depth_to_space.
     s2d: bool = False
+    # With s2d: the input is a concatenation of per-source s2d tensors with
+    # these channel counts (e.g. (64, 16, 2)) instead of the canonical s2d
+    # layout of their concatenation; the kernel's input channels are
+    # permuted at trace time to consume it directly (ops/s2d.py::
+    # s2d_concat_perm), so the activations never relayout.
+    s2d_concat: Optional[Sequence[int]] = None
+    # Stride-2 conv whose *input* is in s2d layout (output in normal
+    # layout at input-block resolution): the packed stride-1 form of
+    # ops/s2d.py::s2_conv_s2d_in_kernel.
+    s2d_in: bool = False
     # col2im-matmul input gradient (conv2d_fast_dgrad): None = auto (TPU,
     # strided, tiny input-channel count — the attack-backward bottleneck).
     fast_dgrad: Optional[bool] = None
@@ -129,7 +139,7 @@ class TorchConv(nn.Module):
             ph, pw = ((kh - 1) // 2) * dh, ((kw - 1) // 2) * dw
         else:
             ph, pw = _pair(self.padding)
-        in_ch = x.shape[-1] // 4 if self.s2d else x.shape[-1]
+        in_ch = x.shape[-1] // 4 if (self.s2d or self.s2d_in) else x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.kaiming_normal(),
@@ -138,11 +148,14 @@ class TorchConv(nn.Module):
         )
         dtype = self.dtype or x.dtype
         if self.s2d:
-            from ..ops.s2d import s2d_conv_kernel
+            from ..ops.s2d import s2d_conv_kernel, s2d_concat_perm
 
             assert (sh, sw) == (1, 1) and (dh, dw) == (1, 1)
             assert (ph, pw) == ((kh - 1) // 2, (kw - 1) // 2)
             k2 = s2d_conv_kernel(kernel).astype(dtype)
+            if self.s2d_concat is not None:
+                assert sum(self.s2d_concat) == in_ch
+                k2 = k2[:, :, jnp.asarray(s2d_concat_perm(self.s2d_concat)), :]
             pad = (kh // 2 + 2) // 2
             y = lax.conv_general_dilated(
                 x.astype(dtype), k2,
@@ -158,6 +171,24 @@ class TorchConv(nn.Module):
                 y = y + jnp.broadcast_to(
                     bias.astype(dtype), (4, self.features)
                 ).reshape(-1)
+            return y
+        if self.s2d_in:
+            from ..ops.s2d import s2_conv_s2d_in_kernel
+
+            assert (sh, sw) == (2, 2) and (dh, dw) == (1, 1) and ph == pw
+            k2, (plo, phi) = s2_conv_s2d_in_kernel(kernel, ph)
+            y = lax.conv_general_dilated(
+                x.astype(dtype), k2.astype(dtype),
+                window_strides=(1, 1),
+                padding=((plo, phi), (plo, phi)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.features,),
+                    jnp.float32,
+                )
+                y = y + bias.astype(dtype)
             return y
         fast = self.fast_dgrad
         if fast is None:
@@ -202,6 +233,10 @@ class TorchConvTranspose(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    # Emit the output in space-to-depth layout: a (3, 3, I, 4O) stride-1
+    # conv at the *input* resolution (ops/s2d.py::deconv4s2p1_s2d_out_kernel)
+    # — avoids the lane-starved lhs-dilated conv entirely.
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -215,6 +250,24 @@ class TorchConvTranspose(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
+        if self.s2d_out:
+            from ..ops.s2d import deconv4s2p1_s2d_out_kernel
+
+            assert (k, s, p) == (4, 2, 1)
+            k2 = deconv4s2p1_s2d_out_kernel(kernel).astype(dtype)
+            y = lax.conv_general_dilated(
+                x.astype(dtype), k2, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.features,),
+                    jnp.float32,
+                )
+                y = y + jnp.broadcast_to(
+                    bias.astype(dtype), (4, self.features)
+                ).reshape(-1)
+            return y
         y = lax.conv_general_dilated(
             x.astype(dtype),
             kernel[::-1, ::-1].astype(dtype),
@@ -317,6 +370,9 @@ class ConvBlock(nn.Module):
     act: Optional[Callable[[Array], Array]] = leaky_relu
     dtype: Optional[Dtype] = None
     train: bool = False
+    s2d: bool = False
+    s2d_concat: Optional[Sequence[int]] = None
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -327,10 +383,20 @@ class ConvBlock(nn.Module):
             dilation=self.dilation,
             use_bias=not self.batch_norm,
             dtype=self.dtype,
+            s2d=self.s2d,
+            s2d_concat=self.s2d_concat,
+            s2d_in=self.s2d_in,
             name="conv",
         )(x)
         if self.batch_norm:
-            y = TorchBatchNorm(use_running_average=not self.train, name="bn")(y)
+            bn = TorchBatchNorm(use_running_average=not self.train, name="bn")
+            if self.s2d:
+                # s2d layout: channels are (p, q, c); fold the 2x2 block
+                # into the W axis so stats/affine stay per-c.
+                B, H2, W2, C4 = y.shape
+                y = bn(y.reshape(B, H2, W2 * 4, C4 // 4)).reshape(y.shape)
+            else:
+                y = bn(y)
         if self.act is not None:
             y = self.act(y)
         return y
@@ -344,12 +410,13 @@ class DeconvBlock(nn.Module):
     features: int
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         y = TorchConvTranspose(
             self.features, 4, 2, 1, use_bias=self.use_bias,
-            dtype=self.dtype, name="deconv",
+            dtype=self.dtype, s2d_out=self.s2d_out, name="deconv",
         )(x)
         return leaky_relu(y)
 

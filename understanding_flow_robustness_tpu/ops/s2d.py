@@ -82,6 +82,91 @@ def s2d_conv_kernel(w: Array) -> Array:
     return w2.reshape(kp, kp, 4 * Ci, 4 * Co)
 
 
+def s2_conv_s2d_in_kernel(w: Array, padding: int):
+    """(k, k, Ci, Co) stride-2 SAME conv kernel -> stride-1 kernel over the
+    space-to-depth input.
+
+    A stride-2 conv's output grid coincides with the s2d block grid, so when
+    the input already lives in s2d layout the conv becomes a small stride-1
+    conv over packed channels: out[Y, X] = sum_{dy} x[2Y+dy] w[dy+r] with
+    2Y+dy = 2(Y+D)+p picking block offset D and phase p.  Returns
+    ``(kernel (kd, kd, 4Ci, Co), (pad_lo, pad_hi))`` for asymmetric padding.
+    """
+    k, kw_, Ci, Co = w.shape
+    assert k == kw_
+    r = padding
+    dys = np.arange(k) - r
+    Ds = np.floor(dys / 2.0).astype(int)
+    dmin, dmax = int(Ds.min()), int(Ds.max())
+    kd = dmax - dmin + 1
+    dy = 2 * (dmin + np.arange(kd))[:, None] + np.arange(2)[None, :]
+    ky = dy + r                                  # (kd, p)
+    valid = (ky >= 0) & (ky < k)
+    kyc = np.clip(ky, 0, k - 1)
+
+    wy = jnp.take(w, jnp.asarray(kyc.reshape(-1)), axis=0)
+    wy = wy.reshape(kd, 2, k, Ci, Co) * jnp.asarray(
+        valid.reshape(kd, 2, 1, 1, 1), w.dtype
+    )
+    wyx = jnp.take(wy, jnp.asarray(kyc.reshape(-1)), axis=2)
+    wyx = wyx.reshape(kd, 2, kd, 2, Ci, Co) * jnp.asarray(
+        valid.reshape(1, 1, kd, 2, 1, 1), w.dtype
+    )
+    # (D, p, E, q, i, o) -> (D, E, [p, q, i], o)
+    w2 = wyx.transpose(0, 2, 1, 3, 4, 5).reshape(kd, kd, 4 * Ci, Co)
+    return w2, (-dmin, dmax)
+
+
+def deconv4s2p1_s2d_out_kernel(w: Array) -> Array:
+    """ConvTranspose2d(k=4, s=2, p=1) kernel (4, 4, Ci, Co), stored in the
+    repo's (kh, kw, I, O) convention, -> (3, 3, Ci, 4Co) stride-1 SAME conv
+    kernel at the *input* resolution whose output is the space-to-depth
+    layout of the transpose conv's full-resolution output.
+
+    out[2Y+py, 2X+px, o] = sum_{dy,dx in [-1,1]} x[Y+dy, X+dx, i]
+                           * w[py + 1 - 2 dy, px + 1 - 2 dx, i, o]
+    (taps with kernel index outside [0, 4) are zero).
+    """
+    k, kw_, Ci, Co = w.shape
+    assert k == 4 and kw_ == 4
+    dyo = np.arange(-1, 2)
+    ky = 1 + np.arange(2)[None, :] - 2 * dyo[:, None]   # (dy, py)
+    vy = (ky >= 0) & (ky < 4)
+    kyc = np.clip(ky, 0, 3)
+    wy = jnp.take(w, jnp.asarray(kyc.reshape(-1)), axis=0)
+    wy = wy.reshape(3, 2, 4, Ci, Co) * jnp.asarray(
+        vy.reshape(3, 2, 1, 1, 1), w.dtype
+    )
+    wyx = jnp.take(wy, jnp.asarray(kyc.reshape(-1)), axis=2)
+    wyx = wyx.reshape(3, 2, 3, 2, Ci, Co) * jnp.asarray(
+        vy.reshape(1, 1, 3, 2, 1, 1), w.dtype
+    )
+    # (dy, py, dx, px, i, o) -> (dy, dx, i, [py, px, o])
+    return wyx.transpose(0, 2, 4, 1, 3, 5).reshape(3, 3, Ci, 4 * Co)
+
+
+def s2d_concat_perm(channels) -> np.ndarray:
+    """Input-channel permutation aligning an s2d conv kernel with an input
+    built by concatenating per-source s2d tensors (instead of
+    space-to-depth of the concatenated sources).
+
+    For kernel ``k2 = s2d_conv_kernel(w)`` over the canonical s2d layout of
+    ``concat(sources)``, ``k2[:, :, s2d_concat_perm(channels), :]`` consumes
+    ``concat([s2d(src) for src in sources])`` directly — a trace-time
+    gather, no activation relayout.
+    """
+    C = int(sum(channels))
+    perm = np.empty(4 * C, np.int64)
+    j = 0
+    off = 0
+    for ck in channels:
+        for pq in range(4):
+            perm[j: j + ck] = pq * C + off + np.arange(ck)
+            j += ck
+        off += ck
+    return perm
+
+
 def dgrad_conv_s2d(g: Array, w: Array, padding: int,
                    x_shape: tuple) -> Array:
     """Input-gradient of a stride-2 SAME conv, computed as a conv in
