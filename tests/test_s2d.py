@@ -160,3 +160,53 @@ def test_flownetsd_s2d_path_matches_plain():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
         )
+
+
+def test_torchconv_tuple_input_matches_concat():
+    from understanding_flow_robustness_tpu.models.layers import TorchConv
+
+    srcs = [jnp.asarray(RNG.randn(2, 12, 16, c).astype(np.float32))
+            for c in (7, 3, 2)]
+    cat = jnp.concatenate(srcs, axis=-1)
+    m = TorchConv(9, 3, 1)
+    v = m.init(jax.random.PRNGKey(0), cat)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(v, tuple(srcs))), np.asarray(m.apply(v, cat)),
+        atol=2e-5, rtol=1e-5,
+    )
+
+
+def test_torchconvtranspose_tuple_input_matches_concat():
+    from understanding_flow_robustness_tpu.models.layers import (
+        TorchConvTranspose,
+    )
+
+    srcs = [jnp.asarray(RNG.randn(2, 8, 10, c).astype(np.float32))
+            for c in (5, 4)]
+    cat = jnp.concatenate(srcs, axis=-1)
+    m = TorchConvTranspose(6, 4, 2, 1)
+    v = m.init(jax.random.PRNGKey(0), cat)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(v, tuple(srcs))), np.asarray(m.apply(v, cat)),
+        atol=2e-5, rtol=1e-5,
+    )
+
+
+def test_torchconv_tuple_s2d_matches_concat():
+    from understanding_flow_robustness_tpu.models.layers import TorchConv
+    from understanding_flow_robustness_tpu.ops.s2d import space_to_depth
+
+    srcs = [jnp.asarray(RNG.randn(1, 8, 12, c).astype(np.float32))
+            for c in (6, 3, 2)]
+    cat = jnp.concatenate(srcs, axis=-1)
+    m0 = TorchConv(5, 3, 1)
+    v = m0.init(jax.random.PRNGKey(1), cat)
+    ref = m0.apply(v, cat)
+    m1 = TorchConv(5, 3, 1, s2d=True)
+    out = m1.apply(v, tuple(space_to_depth(s) for s in srcs))
+    from understanding_flow_robustness_tpu.ops.s2d import depth_to_space
+
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(out)), np.asarray(ref),
+        atol=2e-5, rtol=1e-5,
+    )

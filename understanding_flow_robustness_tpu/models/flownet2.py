@@ -61,7 +61,7 @@ class FlowNet2CSub(nn.Module):
         out_corr = leaky_relu(correlate_flownetc(out_conv3a, out_conv3b))
         out_conv_redir = ConvBlock(32, 1, 1, name="conv_redir", **kw)(out_conv3a)
         out_conv3_1 = ConvBlock(256, 3, 1, name="conv3_1", **kw)(
-            jnp.concatenate([out_conv_redir, out_corr], axis=-1)
+            (out_conv_redir, out_corr)
         )
         out_conv4 = ConvBlock(512, 3, 1, name="conv4_1", **kw)(
             ConvBlock(512, 3, 2, name="conv4", **kw)(out_conv3_1)
@@ -81,25 +81,25 @@ class FlowNet2CSub(nn.Module):
                                       dtype=self.dtype, name=name)
 
         flow6 = pflow("predict_flow6")(out_conv6)
-        concat5 = jnp.concatenate(
-            [out_conv5,
+        concat5 = (
+            out_conv5,
              DeconvBlock(512, dtype=self.dtype, name="deconv5")(out_conv6),
-             upflow("upsampled_flow6_to_5")(flow6)], axis=-1)
+             upflow("upsampled_flow6_to_5")(flow6))
         flow5 = pflow("predict_flow5")(concat5)
-        concat4 = jnp.concatenate(
-            [out_conv4,
+        concat4 = (
+            out_conv4,
              DeconvBlock(256, dtype=self.dtype, name="deconv4")(concat5),
-             upflow("upsampled_flow5_to_4")(flow5)], axis=-1)
+             upflow("upsampled_flow5_to_4")(flow5))
         flow4 = pflow("predict_flow4")(concat4)
-        concat3 = jnp.concatenate(
-            [out_conv3_1,
+        concat3 = (
+            out_conv3_1,
              DeconvBlock(128, dtype=self.dtype, name="deconv3")(concat4),
-             upflow("upsampled_flow4_to_3")(flow4)], axis=-1)
+             upflow("upsampled_flow4_to_3")(flow4))
         flow3 = pflow("predict_flow3")(concat3)
-        concat2 = jnp.concatenate(
-            [out_conv2a,
+        concat2 = (
+            out_conv2a,
              DeconvBlock(64, dtype=self.dtype, name="deconv2")(concat3),
-             upflow("upsampled_flow3_to_2")(flow3)], axis=-1)
+             upflow("upsampled_flow3_to_2")(flow3))
         flow2 = pflow("predict_flow2")(concat2)
 
         if train:
@@ -140,25 +140,25 @@ class FlowNet2SSub(nn.Module):
                                       dtype=self.dtype, name=name)
 
         flow6 = pflow("predict_flow6")(out_conv6)
-        concat5 = jnp.concatenate(
-            [out_conv5,
+        concat5 = (
+            out_conv5,
              DeconvBlock(512, dtype=self.dtype, name="deconv5")(out_conv6),
-             upflow("upsampled_flow6_to_5")(flow6)], axis=-1)
+             upflow("upsampled_flow6_to_5")(flow6))
         flow5 = pflow("predict_flow5")(concat5)
-        concat4 = jnp.concatenate(
-            [out_conv4,
+        concat4 = (
+            out_conv4,
              DeconvBlock(256, dtype=self.dtype, name="deconv4")(concat5),
-             upflow("upsampled_flow5_to_4")(flow5)], axis=-1)
+             upflow("upsampled_flow5_to_4")(flow5))
         flow4 = pflow("predict_flow4")(concat4)
-        concat3 = jnp.concatenate(
-            [out_conv3,
+        concat3 = (
+            out_conv3,
              DeconvBlock(128, dtype=self.dtype, name="deconv3")(concat4),
-             upflow("upsampled_flow4_to_3")(flow4)], axis=-1)
+             upflow("upsampled_flow4_to_3")(flow4))
         flow3 = pflow("predict_flow3")(concat3)
-        concat2 = jnp.concatenate(
-            [out_conv2,
+        concat2 = (
+            out_conv2,
              DeconvBlock(64, dtype=self.dtype, name="deconv2")(concat3),
-             upflow("upsampled_flow3_to_2")(flow3)], axis=-1)
+             upflow("upsampled_flow3_to_2")(flow3))
         flow2 = pflow("predict_flow2")(concat2)
 
         if train:
@@ -234,25 +234,25 @@ class FlowNetSD(nn.Module):
                              train=train)
 
         flow6 = pflow("predict_flow6")(out_conv6)
-        concat5 = jnp.concatenate(
-            [out_conv5,
+        concat5 = (
+            out_conv5,
              DeconvBlock(512, dtype=self.dtype, name="deconv5")(out_conv6),
-             upflow("upsampled_flow6_to_5")(flow6)], axis=-1)
+             upflow("upsampled_flow6_to_5")(flow6))
         flow5 = pflow("predict_flow5")(iconv(512, "inter_conv5")(concat5))
-        concat4 = jnp.concatenate(
-            [out_conv4,
+        concat4 = (
+            out_conv4,
              DeconvBlock(256, dtype=self.dtype, name="deconv4")(concat5),
-             upflow("upsampled_flow5_to_4")(flow5)], axis=-1)
+             upflow("upsampled_flow5_to_4")(flow5))
         flow4 = pflow("predict_flow4")(iconv(256, "inter_conv4")(concat4))
-        concat3 = jnp.concatenate(
-            [out_conv3,
+        concat3 = (
+            out_conv3,
              DeconvBlock(128, dtype=self.dtype, name="deconv3")(concat4),
-             upflow("upsampled_flow4_to_3")(flow4)], axis=-1)
+             upflow("upsampled_flow4_to_3")(flow4))
         flow3 = pflow("predict_flow3")(iconv(128, "inter_conv3")(concat3))
-        concat2 = jnp.concatenate(
-            [out_conv2,
+        concat2 = (
+            out_conv2,
              DeconvBlock(64, dtype=self.dtype, name="deconv2")(concat3),
-             upflow("upsampled_flow3_to_2")(flow3)], axis=-1)
+             upflow("upsampled_flow3_to_2")(flow3))
         flow2 = pflow("predict_flow2")(iconv(64, "inter_conv2")(concat2))
 
         if train:
@@ -322,26 +322,24 @@ class FlowNetFusion(nn.Module):
         )
 
         flow2 = pflow("predict_flow2")(out_conv2)
-        concat1 = jnp.concatenate(
-            [out_conv1,
-             DeconvBlock(32, dtype=self.dtype, name="deconv1")(out_conv2),
-             upflow("upsampled_flow2_to_1")(flow2)], axis=-1)
+        # concat1/concat0 are passed as source TUPLES: every consumer conv
+        # slices its kernel per source and sums, so the multi-hundred-MB
+        # concat buffers never materialize (TorchConv docstring).
+        concat1 = (out_conv1,
+                   DeconvBlock(32, dtype=self.dtype, name="deconv1")(out_conv2),
+                   upflow("upsampled_flow2_to_1")(flow2))
         flow1 = pflow("predict_flow1")(iconv(32, "inter_conv1")(concat1))
         if s2d:
-            concat0 = jnp.concatenate(
-                [out_conv0,
-                 DeconvBlock(16, dtype=self.dtype, s2d_out=True,
-                             name="deconv0")(concat1),
-                 upflow("upsampled_flow1_to_0", s2d_out=True)(flow1)],
-                axis=-1)
+            concat0 = (out_conv0,
+                       DeconvBlock(16, dtype=self.dtype, s2d_out=True,
+                                   name="deconv0")(concat1),
+                       upflow("upsampled_flow1_to_0", s2d_out=True)(flow1))
             flow0 = pflow("predict_flow0", s2d=True)(
-                iconv(16, "inter_conv0", s2d=True,
-                      s2d_concat=(64, 16, 2))(concat0))
+                iconv(16, "inter_conv0", s2d=True)(concat0))
             return depth_to_space(flow0)
-        concat0 = jnp.concatenate(
-            [out_conv0,
-             DeconvBlock(16, dtype=self.dtype, name="deconv0")(concat1),
-             upflow("upsampled_flow1_to_0")(flow1)], axis=-1)
+        concat0 = (out_conv0,
+                   DeconvBlock(16, dtype=self.dtype, name="deconv0")(concat1),
+                   upflow("upsampled_flow1_to_0")(flow1))
         flow0 = pflow("predict_flow0")(iconv(16, "inter_conv0")(concat0))
         return flow0
 

@@ -104,7 +104,7 @@ class FlowNetS(nn.Module):
             out_conv5,
         )
 
-        concat5 = jnp.concatenate([out_conv5, out_deconv5, flow6_up], axis=-1)
+        concat5 = (out_conv5, out_deconv5, flow6_up)
         flow5 = pflow("predict_flow5")(concat5)
         flow5_up = crop_like(upflow("upsampled_flow5_to_4")(flow5), out_conv4)
         out_deconv4 = crop_like(
@@ -114,7 +114,7 @@ class FlowNetS(nn.Module):
             out_conv4,
         )
 
-        concat4 = jnp.concatenate([out_conv4, out_deconv4, flow5_up], axis=-1)
+        concat4 = (out_conv4, out_deconv4, flow5_up)
         flow4 = pflow("predict_flow4")(concat4)
         flow4_up = crop_like(upflow("upsampled_flow4_to_3")(flow4), out_conv3)
         out_deconv3 = crop_like(
@@ -124,7 +124,7 @@ class FlowNetS(nn.Module):
             out_conv3,
         )
 
-        concat3 = jnp.concatenate([out_conv3, out_deconv3, flow4_up], axis=-1)
+        concat3 = (out_conv3, out_deconv3, flow4_up)
         flow3 = pflow("predict_flow3")(concat3)
         flow3_up = crop_like(upflow("upsampled_flow3_to_2")(flow3), out_conv2)
         out_deconv2 = crop_like(
@@ -134,7 +134,7 @@ class FlowNetS(nn.Module):
             out_conv2,
         )
 
-        concat2 = jnp.concatenate([out_conv2, out_deconv2, flow3_up], axis=-1)
+        concat2 = (out_conv2, out_deconv2, flow3_up)
         flow2 = pflow("predict_flow2")(concat2)
 
         if train:
@@ -194,7 +194,7 @@ class FlowNetC(nn.Module):
         feats["conv_redir"] = out_conv_redir
         out_conv_redir = _maybe(overrides, "conv_redir", out_conv_redir)
 
-        in_conv3_1 = jnp.concatenate([out_conv_redir, out_corr], axis=-1)
+        in_conv3_1 = (out_conv_redir, out_corr)
         out_conv3_1 = ConvBlock(256, 3, 1, name="conv3_1", **conv_kw)(in_conv3_1)
         feats["conv3_1"] = out_conv3_1
         out_conv3_1 = _maybe(overrides, "conv3_1", out_conv3_1)
@@ -219,22 +219,22 @@ class FlowNetC(nn.Module):
         flow6_up = upflow("upsampled_flow6_to_5")(flow6)
         out_deconv5 = DeconvBlock(512, dtype=self.dtype, name="deconv5")(out_conv6)
 
-        concat5 = jnp.concatenate([out_conv5, out_deconv5, flow6_up], axis=-1)
+        concat5 = (out_conv5, out_deconv5, flow6_up)
         flow5 = pflow("predict_flow5")(concat5)
         flow5_up = upflow("upsampled_flow5_to_4")(flow5)
         out_deconv4 = DeconvBlock(256, dtype=self.dtype, name="deconv4")(concat5)
 
-        concat4 = jnp.concatenate([out_conv4, out_deconv4, flow5_up], axis=-1)
+        concat4 = (out_conv4, out_deconv4, flow5_up)
         flow4 = pflow("predict_flow4")(concat4)
         flow4_up = upflow("upsampled_flow4_to_3")(flow4)
         out_deconv3 = DeconvBlock(128, dtype=self.dtype, name="deconv3")(concat4)
 
-        concat3 = jnp.concatenate([out_conv3_1, out_deconv3, flow4_up], axis=-1)
+        concat3 = (out_conv3_1, out_deconv3, flow4_up)
         flow3 = pflow("predict_flow3")(concat3)
         flow3_up = upflow("upsampled_flow3_to_2")(flow3)
         out_deconv2 = DeconvBlock(64, dtype=self.dtype, name="deconv2")(concat3)
 
-        concat2 = jnp.concatenate([out_conv2a, out_deconv2, flow3_up], axis=-1)
+        concat2 = (out_conv2a, out_deconv2, flow3_up)
         flow2 = pflow("predict_flow2")(concat2)
 
         def up4(f):
@@ -335,7 +335,7 @@ class FlowNetCFlex(nn.Module):
         out_corr = leaky_relu(out_corr_raw)
         out_conv_redir = _maybe(overrides, "conv_redir", out_conv_redir)
 
-        in_conv3_1 = jnp.concatenate([out_conv_redir, out_corr], axis=-1)
+        in_conv3_1 = (out_conv_redir, out_corr)
         out_conv3_1 = ConvBlock(256, 3, 1, name="conv3_1", **conv_kw)(in_conv3_1)
         feats["conv3_1"] = out_conv3_1
         out_conv3_1 = _maybe(overrides, "conv3_1", out_conv3_1)
@@ -360,25 +360,25 @@ class FlowNetCFlex(nn.Module):
         out_deconv5 = DeconvBlock(512, use_bias=False, dtype=self.dtype,
                                   name="deconv5")(out_conv6)
 
-        concat5 = jnp.concatenate([out_conv5, out_deconv5, flow6_up], axis=-1)
+        concat5 = (out_conv5, out_deconv5, flow6_up)
         flow5 = pflow("predict_flow5")(concat5)
         flow5_up = upflow("upsampled_flow5_to_4")(flow5)
         out_deconv4 = DeconvBlock(256, use_bias=False, dtype=self.dtype,
                                   name="deconv4")(concat5)
 
-        concat4 = jnp.concatenate([out_conv4, out_deconv4, flow5_up], axis=-1)
+        concat4 = (out_conv4, out_deconv4, flow5_up)
         flow4 = pflow("predict_flow4")(concat4)
         flow4_up = upflow("upsampled_flow4_to_3")(flow4)
         out_deconv3 = DeconvBlock(128, use_bias=False, dtype=self.dtype,
                                   name="deconv3")(concat4)
 
-        concat3 = jnp.concatenate([out_conv3_1, out_deconv3, flow4_up], axis=-1)
+        concat3 = (out_conv3_1, out_deconv3, flow4_up)
         flow3 = pflow("predict_flow3")(concat3)
         flow3_up = upflow("upsampled_flow3_to_2")(flow3)
         out_deconv2 = DeconvBlock(64, use_bias=False, dtype=self.dtype,
                                   name="deconv2")(concat3)
 
-        concat2 = jnp.concatenate([out_conv2a, out_deconv2, flow3_up], axis=-1)
+        concat2 = (out_conv2a, out_deconv2, flow3_up)
         flow2 = pflow("predict_flow2")(concat2)
 
         if train:

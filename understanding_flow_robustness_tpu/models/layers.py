@@ -131,7 +131,18 @@ class TorchConv(nn.Module):
     fast_dgrad: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x) -> Array:
+        # A tuple/list input means "conv of the channel-concat of these
+        # sources" computed WITHOUT materializing the concat:
+        # conv(cat(a, b), W) == conv(a, Wa) + conv(b, Wb) with Wa/Wb input-
+        # channel slices of W — the concat buffers of the FlowNet decoders
+        # are hundreds of MB at batch 8 full-res, and XLA does not fuse a
+        # concatenate into a convolution operand (measured ~3 ms/concat in
+        # FlowNetFusion).  Parameter shape/name unchanged.
+        sources = None
+        if isinstance(x, (tuple, list)):
+            sources = tuple(x)
+            x = sources[0]
         kh, kw = _pair(self.kernel_size)
         sh, sw = _pair(self.stride)
         dh, dw = _pair(self.dilation)
@@ -139,7 +150,12 @@ class TorchConv(nn.Module):
             ph, pw = ((kh - 1) // 2) * dh, ((kw - 1) // 2) * dw
         else:
             ph, pw = _pair(self.padding)
-        in_ch = x.shape[-1] // 4 if (self.s2d or self.s2d_in) else x.shape[-1]
+        packed_in = self.s2d or self.s2d_in
+        if sources is not None:
+            tot = sum(s.shape[-1] for s in sources)
+            in_ch = tot // 4 if packed_in else tot
+        else:
+            in_ch = x.shape[-1] // 4 if packed_in else x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.kaiming_normal(),
@@ -147,75 +163,88 @@ class TorchConv(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
+
         if self.s2d:
             from ..ops.s2d import s2d_conv_kernel, s2d_concat_perm
 
             assert (sh, sw) == (1, 1) and (dh, dw) == (1, 1)
             assert (ph, pw) == ((kh - 1) // 2, (kw - 1) // 2)
-            k2 = s2d_conv_kernel(kernel).astype(dtype)
-            if self.s2d_concat is not None:
-                assert sum(self.s2d_concat) == in_ch
-                k2 = k2[:, :, jnp.asarray(s2d_concat_perm(self.s2d_concat)), :]
             pad = (kh // 2 + 2) // 2
-            y = lax.conv_general_dilated(
-                x.astype(dtype), k2,
-                window_strides=(1, 1),
-                padding=((pad, pad), (pad, pad)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            if self.use_bias:
-                bias = self.param(
-                    "bias", nn.initializers.zeros, (self.features,),
-                    jnp.float32,
+
+            def run(xk, wk):
+                k2 = s2d_conv_kernel(wk).astype(dtype)
+                if sources is None and self.s2d_concat is not None:
+                    assert sum(self.s2d_concat) == in_ch
+                    k2 = k2[:, :, jnp.asarray(
+                        s2d_concat_perm(self.s2d_concat)), :]
+                return lax.conv_general_dilated(
+                    xk.astype(dtype), k2,
+                    window_strides=(1, 1),
+                    padding=((pad, pad), (pad, pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
-                y = y + jnp.broadcast_to(
-                    bias.astype(dtype), (4, self.features)
-                ).reshape(-1)
-            return y
-        if self.s2d_in:
+        elif self.s2d_in:
             from ..ops.s2d import s2_conv_s2d_in_kernel
 
             assert (sh, sw) == (2, 2) and (dh, dw) == (1, 1) and ph == pw
-            k2, (plo, phi) = s2_conv_s2d_in_kernel(kernel, ph)
-            y = lax.conv_general_dilated(
-                x.astype(dtype), k2.astype(dtype),
-                window_strides=(1, 1),
-                padding=((plo, phi), (plo, phi)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            if self.use_bias:
-                bias = self.param(
-                    "bias", nn.initializers.zeros, (self.features,),
-                    jnp.float32,
+
+            def run(xk, wk):
+                k2, (plo, phi) = s2_conv_s2d_in_kernel(wk, ph)
+                return lax.conv_general_dilated(
+                    xk.astype(dtype), k2.astype(dtype),
+                    window_strides=(1, 1),
+                    padding=((plo, phi), (plo, phi)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
-                y = y + bias.astype(dtype)
-            return y
-        fast = self.fast_dgrad
-        if fast is None:
-            fast = (
-                in_ch <= 8
-                and (sh, sw) != (1, 1)
-                and jax.default_backend() == "tpu"
-            )
-        fast = fast and (dh, dw) == (1, 1)  # dilation unsupported
-        if fast:
-            y = conv2d_fast_dgrad(
-                x.astype(dtype), kernel.astype(dtype), (sh, sw), (ph, pw)
-            )
         else:
-            y = lax.conv_general_dilated(
-                x.astype(dtype),
-                kernel.astype(dtype),
-                window_strides=(sh, sw),
-                padding=((ph, ph), (pw, pw)),
-                rhs_dilation=(dh, dw),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            fast = self.fast_dgrad
+            if fast is None:
+                fast = (
+                    in_ch <= 8
+                    and (sh, sw) != (1, 1)
+                    and jax.default_backend() == "tpu"
+                )
+            fast = fast and (dh, dw) == (1, 1)  # dilation unsupported
+
+            def run(xk, wk):
+                if fast:
+                    return conv2d_fast_dgrad(
+                        xk.astype(dtype), wk.astype(dtype), (sh, sw),
+                        (ph, pw),
+                    )
+                return lax.conv_general_dilated(
+                    xk.astype(dtype),
+                    wk.astype(dtype),
+                    window_strides=(sh, sw),
+                    padding=((ph, ph), (pw, pw)),
+                    rhs_dilation=(dh, dw),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+
+        if sources is None:
+            y = run(x, kernel)
+        else:
+            # per-source input-channel slices of the ORIGINAL kernel; each
+            # slice goes through the same (s2d/s2d_in) transform, so packed
+            # sources are consumed in their own canonical layout and no
+            # concat buffer ever materializes.
+            y = None
+            off = 0
+            for src in sources:
+                ck = src.shape[-1] // 4 if packed_in else src.shape[-1]
+                yk = run(src, kernel[:, :, off: off + ck, :])
+                y = yk if y is None else y + yk
+                off += ck
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
-            y = y + bias.astype(dtype)
+            if self.s2d:
+                y = y + jnp.broadcast_to(
+                    bias.astype(dtype), (4, self.features)
+                ).reshape(-1)
+            else:
+                y = y + bias.astype(dtype)
         return y
 
 
@@ -239,9 +268,17 @@ class TorchConvTranspose(nn.Module):
     s2d_out: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x) -> Array:
+        # Tuple/list input: transpose-conv of the channel-concat of the
+        # sources, computed per source with kernel slices and summed —
+        # the concat buffer never materializes (see TorchConv).
+        sources = None
+        if isinstance(x, (tuple, list)):
+            sources = tuple(x)
+            x = sources[0]
         k, s, p = self.kernel_size, self.stride, self.padding
-        in_ch = x.shape[-1]
+        in_ch = (sum(sc.shape[-1] for sc in sources)
+                 if sources is not None else x.shape[-1])
         # stored as (kh, kw, I, O): torch (I, O, kh, kw).transpose(2, 3, 0, 1)
         kernel = self.param(
             "kernel",
@@ -254,33 +291,44 @@ class TorchConvTranspose(nn.Module):
             from ..ops.s2d import deconv4s2p1_s2d_out_kernel
 
             assert (k, s, p) == (4, 2, 1)
-            k2 = deconv4s2p1_s2d_out_kernel(kernel).astype(dtype)
-            y = lax.conv_general_dilated(
-                x.astype(dtype), k2, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            if self.use_bias:
-                bias = self.param(
-                    "bias", nn.initializers.zeros, (self.features,),
-                    jnp.float32,
+
+            def run(xk, wk):
+                k2 = deconv4s2p1_s2d_out_kernel(wk).astype(dtype)
+                return lax.conv_general_dilated(
+                    xk.astype(dtype), k2, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
-                y = y + jnp.broadcast_to(
-                    bias.astype(dtype), (4, self.features)
-                ).reshape(-1)
-            return y
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel[::-1, ::-1].astype(dtype),
-            window_strides=(1, 1),
-            padding=((k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)),
-            lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        else:
+            def run(xk, wk):
+                return lax.conv_general_dilated(
+                    xk.astype(dtype),
+                    wk[::-1, ::-1].astype(dtype),
+                    window_strides=(1, 1),
+                    padding=((k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)),
+                    lhs_dilation=(s, s),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+
+        if sources is None:
+            y = run(x, kernel)
+        else:
+            y = None
+            off = 0
+            for src in sources:
+                ck = src.shape[-1]
+                yk = run(src, kernel[:, :, off: off + ck, :])
+                y = yk if y is None else y + yk
+                off += ck
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
-            y = y + bias.astype(dtype)
+            if self.s2d_out:
+                y = y + jnp.broadcast_to(
+                    bias.astype(dtype), (4, self.features)
+                ).reshape(-1)
+            else:
+                y = y + bias.astype(dtype)
         return y
 
 

@@ -84,11 +84,16 @@ class PWCNet(nn.Module):
         flows = {}
 
         def dense_decoder(x, lvl):
+            # DenseNet chain as source TUPLES: every consumer conv slices
+            # its kernel per source (TorchConv tuple input), so the growing
+            # concat buffers (2.2 GB of writes at level 2, b8 384x1280)
+            # never materialize.  Source order matches torch.cat((y, x), 1).
+            srcs = x if isinstance(x, tuple) else (x,)
             for i, feat in enumerate([128, 128, 96, 64, 32]):
-                y = conv(feat, f"conv{lvl}_{i}")(x)
-                x = jnp.concatenate([y, x], axis=-1)
-            flow = TorchConv(2, 3, 1, dtype=dt, name=f"predict_flow{lvl}")(x)
-            return x, flow
+                y = conv(feat, f"conv{lvl}_{i}")(srcs)
+                srcs = (y,) + srcs
+            flow = TorchConv(2, 3, 1, dtype=dt, name=f"predict_flow{lvl}")(srcs)
+            return srcs, flow
 
         # level 6 (coarsest)
         corr6 = correlate_pwc(c1[5], c2[5])
@@ -109,7 +114,7 @@ class PWCNet(nn.Module):
             # barrier: see models/flownet2.py::_stage_input (XLA otherwise
             # duplicates the warp/corr glue across decoder conv fusions)
             x = jax.lax.optimization_barrier(
-                jnp.concatenate([corr, c1[i], up_flow, up_feat], axis=-1)
+                (corr, c1[i], up_flow, up_feat)
             )
             x, flow = dense_decoder(x, lvl)
             flows[lvl] = flow

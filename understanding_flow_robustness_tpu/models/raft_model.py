@@ -195,14 +195,18 @@ class ConvGRU(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, h: Array, x: Array) -> Array:
+    def __call__(self, h: Array, x) -> Array:
+        # x may be a source tuple; the gate convs consume (h,) + x via
+        # per-source kernel slices (TorchConv tuple input) so the cat(h, x)
+        # buffers never materialize (~47 MB/iteration each at KITTI b8).
         hd = self.hidden_dim
-        hx = jnp.concatenate([h, x], axis=-1)
+        xs = x if isinstance(x, tuple) else (x,)
+        hx = (h,) + xs
         z = jax.nn.sigmoid(TorchConv(hd, 3, 1, dtype=self.dtype, name="convz")(hx))
         r = jax.nn.sigmoid(TorchConv(hd, 3, 1, dtype=self.dtype, name="convr")(hx))
         q = jnp.tanh(
             TorchConv(hd, 3, 1, dtype=self.dtype, name="convq")(
-                jnp.concatenate([r * h, x], axis=-1)
+                (r * h,) + xs
             )
         )
         return (1 - z) * h + z * q
@@ -215,11 +219,13 @@ class SepConvGRU(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, h: Array, x: Array) -> Array:
+    def __call__(self, h: Array, x) -> Array:
         hd = self.hidden_dim
+        xs = x if isinstance(x, tuple) else (x,)
 
-        def gru(h, x, ks, suffix):
-            hx = jnp.concatenate([h, x], axis=-1)
+        def gru(h, ks, suffix):
+            # source tuples instead of cat(h, x) — see ConvGRU
+            hx = (h,) + xs
             z = jax.nn.sigmoid(
                 TorchConv(hd, ks, 1, dtype=self.dtype, name=f"convz{suffix}")(hx)
             )
@@ -228,13 +234,13 @@ class SepConvGRU(nn.Module):
             )
             q = jnp.tanh(
                 TorchConv(hd, ks, 1, dtype=self.dtype, name=f"convq{suffix}")(
-                    jnp.concatenate([r * h, x], axis=-1)
+                    (r * h,) + xs
                 )
             )
             return (1 - z) * h + z * q
 
-        h = gru(h, x, (1, 5), "1")
-        h = gru(h, x, (5, 1), "2")
+        h = gru(h, (1, 5), "1")
+        h = gru(h, (5, 1), "2")
         return h
 
 
@@ -307,9 +313,11 @@ class BasicMotionEncoder(nn.Module):
             cor = relu(TorchConv(192, 3, 1, dtype=self.dtype, name="convc2")(cor))
         flo = relu(TorchConv(128, 7, 1, dtype=self.dtype, name="convf1")(flow))
         flo = relu(TorchConv(64, 3, 1, dtype=self.dtype, name="convf2")(flo))
+        # compute path uses source tuples (no concat buffers); the concats
+        # below only exist for the feature taps and are DCE'd in test mode
+        out = relu(TorchConv(126, 3, 1, dtype=self.dtype, name="conv")((cor, flo)))
         cor_flo = jnp.concatenate([cor, flo], axis=-1)
-        out = relu(TorchConv(126, 3, 1, dtype=self.dtype, name="conv")(cor_flo))
-        return jnp.concatenate([out, flow], axis=-1), cor1, cor, cor_flo
+        return (out, flow), cor1, cor, cor_flo
 
 
 class SmallMotionEncoder(nn.Module):
@@ -324,9 +332,8 @@ class SmallMotionEncoder(nn.Module):
         cor = relu(TorchConv(96, 1, 1, dtype=self.dtype, name="convc1")(corr))
         flo = relu(TorchConv(64, 7, 1, dtype=self.dtype, name="convf1")(flow))
         flo = relu(TorchConv(32, 3, 1, dtype=self.dtype, name="convf2")(flo))
-        cor_flo = jnp.concatenate([cor, flo], axis=-1)
-        out = relu(TorchConv(80, 3, 1, dtype=self.dtype, name="conv")(cor_flo))
-        return jnp.concatenate([out, flow], axis=-1)
+        out = relu(TorchConv(80, 3, 1, dtype=self.dtype, name="conv")((cor, flo)))
+        return (out, flow)
 
 
 class BasicUpdateBlock(nn.Module):
@@ -341,16 +348,19 @@ class BasicUpdateBlock(nn.Module):
 
     @nn.compact
     def __call__(self, net: Array, inp: Array, corr: Array, flow: Array):
-        motion_features, cor1, cor, cor_flo = BasicMotionEncoder(
+        mf_srcs, cor1, cor, cor_flo = BasicMotionEncoder(
             self.cor_planes, self.no_motion_downsampling, self.dtype,
             self.padded_corr_levels,
             name="encoder",
         )(flow, corr)
-        x = jnp.concatenate([inp, motion_features], axis=-1)
+        # x as a source tuple (same channel order as cat(inp, out, flow))
+        x = (inp,) + mf_srcs
         net = SepConvGRU(self.hidden_dim, self.dtype, name="gru")(net, x)
         delta_flow = FlowHead(256, self.dtype, name="flow_head")(net)
         m = jax.nn.relu(TorchConv(256, 3, 1, dtype=self.dtype, name="mask_0")(net))
         mask = 0.25 * TorchConv(64 * 9, 1, 1, dtype=self.dtype, name="mask_2")(m)
+        # the tap concat below is DCE'd unless return_features consumes it
+        motion_features = jnp.concatenate(mf_srcs, axis=-1)
         return net, mask, delta_flow, (motion_features, cor1, cor, cor_flo)
 
 
@@ -363,12 +373,14 @@ class SmallUpdateBlock(nn.Module):
 
     @nn.compact
     def __call__(self, net: Array, inp: Array, corr: Array, flow: Array):
-        motion_features = SmallMotionEncoder(
+        mf_srcs = SmallMotionEncoder(
             self.cor_planes, self.dtype, name="encoder"
         )(flow, corr)
-        x = jnp.concatenate([inp, motion_features], axis=-1)
+        x = (inp,) + mf_srcs
         net = ConvGRU(self.hidden_dim, self.dtype, name="gru")(net, x)
         delta_flow = FlowHead(128, self.dtype, name="flow_head")(net)
+        # tap concat DCE'd unless return_features consumes it
+        motion_features = jnp.concatenate(mf_srcs, axis=-1)
         return net, None, delta_flow, (motion_features,) * 4
 
 
