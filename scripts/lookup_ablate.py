@@ -50,7 +50,9 @@ def _kernel(cy_ref, cx_ref, f1_ref, *rest, shapes, tq, n, mode):
             corrH = lax.dot_general(
                 f1e, f2_refs[lvl][0],
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=(
+                    jnp.bfloat16 if mode == "corrbf16" else jnp.float32
+                ),
             )  # (Hl, tq, Wl)
             if mode == "notranspose":
                 # consume corrH without the major-dims transpose: reduce
@@ -58,6 +60,11 @@ def _kernel(cy_ref, cx_ref, f1_ref, *rest, shapes, tq, n, mode):
                 # broadcast back to the (tq, hl, wl) the selectors expect
                 red = jnp.sum(corrH, axis=0).astype(sel_dtype)  # (tq, Wl)
                 corr = jnp.broadcast_to(red[:, None, :], (tq, hl, wl))
+            elif mode in ("castfirst", "corrbf16"):
+                # cast to bf16 BEFORE the major-dims transpose (halves the
+                # relayout bytes); corrbf16 additionally emits bf16 from
+                # the MXU directly
+                corr = jnp.transpose(corrH.astype(sel_dtype), (1, 0, 2))
             else:
                 corr = jnp.transpose(corrH, (1, 0, 2)).astype(sel_dtype)
 
@@ -182,8 +189,8 @@ def main():
     coords = jnp.asarray(np.stack(
         [rng.rand(B, N) * W, rng.rand(B, N) * H], -1).astype(np.float32))
 
-    for mode in ("base", "selB", "selrowfirst", "nosel", "nohats",
-                 "notranspose", "nocorr"):
+    for mode in ("base", "castfirst", "corrbf16", "selB", "selrowfirst",
+                 "nosel", "nohats", "notranspose", "nocorr"):
         dt = timed_loop(
             lambda f, c: lookup_variant(f, levels, c, 4, mode=mode),
             (f1, coords), n=30)
