@@ -118,6 +118,7 @@ def main():
     tb, th, tw = 4, 288, 960
     tx, _ = fetch_optimizer(lr=1e-4, num_steps=1000)
     tparams = raft.variables["params"]
+    tstats = raft.variables.get("batch_stats", {})
     topt = tx.init(tparams)
     tstep = jax.jit(make_train_step(raft.module, tx, loss_type="sequence",
                                     is_raft=True))
@@ -128,12 +129,12 @@ def main():
         jnp.ones((tb, th, tw), jnp.float32),
     )
 
-    def train_once(i1, i2, fl, va, p, o):
+    def train_once(i1, i2, fl, va, p, o, s):
         batch = {"image1": i1, "image2": i2, "flow": fl, "valid": va}
-        np_, no_, _, m = tstep(p, o, {}, batch)
+        np_, no_, _, m = tstep(p, o, s, batch)
         return m["loss"]
 
-    dt = timed_loop(train_once, tbatch + (tparams, topt), n=5)
+    dt = timed_loop(train_once, tbatch + (tparams, topt, tstats), n=5)
     train_frames = tb / dt
 
     print(
