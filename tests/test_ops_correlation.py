@@ -71,6 +71,29 @@ def test_spatial_correlation_k1(impl, patch, dil_patch):
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
 
 
+def test_spatial_correlation_band_blocked_wide_rows():
+    """The blocked-band path (query-column blocks + halo slab) activates
+    only for W >= 2 * (128 + patch halo); it must stay BIT-identical to
+    the full-row band (the selector is one-hot over v, so blocking never
+    changes the contraction).  PWC level-2 geometry, downscaled batch."""
+    from understanding_flow_robustness_tpu.ops.correlation import (
+        _BAND_BLOCK,
+        _corr_k1_band,
+    )
+
+    W = 2 * (_BAND_BLOCK + 2 * 4) + 16  # just past the blocking threshold
+    f1 = jnp.asarray(RNG.randn(1, 4, W, 8).astype(np.float32))
+    f2 = jnp.asarray(RNG.randn(1, 4, W, 8).astype(np.float32))
+    blocked = np.asarray(_corr_k1_band(f1, f2, 9, 1))
+    shift = np.asarray(
+        ops.spatial_correlation(f1, f2, patch_size=9, impl="shift")
+    )
+    np.testing.assert_allclose(blocked, shift, atol=1e-4)
+    # and against the literal C++ transcription
+    ref = naive_spatial_correlation(np.asarray(f1), np.asarray(f2), 9)
+    np.testing.assert_allclose(blocked, ref, atol=1e-4)
+
+
 @pytest.mark.parametrize(
     "kernel,stride,padding,dilation",
     [(3, 1, 1, 1), (3, 2, 1, 1), (1, 2, 0, 1), (3, 1, 2, 2)],

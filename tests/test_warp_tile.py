@@ -65,6 +65,37 @@ def test_violations_detected_for_discontinuous_flow():
     assert int(viol) > 0
 
 
+def test_wide_channel_eligibility_and_parity():
+    """C > 8 inputs take the kernel only when the image is large enough
+    (PWC level-2 geometry: 10x measured win), with the vertical slab
+    radius capped at 8; tiny levels and very wide channels stay on the
+    gather path."""
+    from understanding_flow_robustness_tpu.ops.interp import _tiled_eligible
+
+    # PWC L2: eligible, ry capped to 8
+    assert _tiled_eligible((8, 96, 320, 33), 32, 64) == (8, 64)
+    # small-area wide-channel levels (PWC L3/L4): ineligible
+    assert _tiled_eligible((8, 48, 160, 65), 32, 64) is None
+    assert _tiled_eligible((8, 24, 80, 97), 32, 64) is None
+    # C > 40: ineligible regardless of area
+    assert _tiled_eligible((8, 384, 1280, 48), 32, 64) is None
+    # the classic small-channel full-res case keeps its radii
+    assert _tiled_eligible((8, 384, 1280, 3), 32, 64) == (32, 64)
+
+    # value parity at the PWC L2 shape (downscaled batch, interpret mode)
+    B, H, W, C = 1, 96, 320, 32
+    img = jnp.asarray(RNG.rand(B, H, W, C).astype(np.float32))
+    sy, sx = _coords(H, W, B, sigma=1.5, dx=6.0)
+    out = bilinear_sample_auto(
+        img, jnp.asarray(sx), jnp.asarray(sy), padding_mode="zeros",
+        interpret=True,
+    )
+    ref = bilinear_sample(
+        img, jnp.asarray(sx), jnp.asarray(sy), padding_mode="zeros"
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_auto_sampler_falls_back_exactly():
     """bilinear_sample_auto must equal the gather path even when the flow
     escapes the slab radius (the lax.cond fallback).  W=512 so the snapped

@@ -37,6 +37,13 @@ class PWCNet(nn.Module):
     md: int = 4
     return_features: bool = False
     dtype: Optional[Any] = None
+    # DenseNet decoder source handling.  The tuple-split form (conv per
+    # source, summed — models/layers.py TorchConv) wins standalone at
+    # every level, but LOSES ~6 ms e2e at b8 384x1280 (measured by
+    # scripts/pwc_knockout.py: 59.3 -> 53.0 with materialized concats) —
+    # XLA schedules the fused per-source convs worse across the stage
+    # boundary.  Default: materialize the concat like the reference.
+    split_decoder: bool = False
 
     @nn.compact
     def __call__(self, im1: Array, im2: Array, train: bool = False):
@@ -84,14 +91,19 @@ class PWCNet(nn.Module):
         flows = {}
 
         def dense_decoder(x, lvl):
-            # DenseNet chain as source TUPLES: every consumer conv slices
-            # its kernel per source (TorchConv tuple input), so the growing
-            # concat buffers (2.2 GB of writes at level 2, b8 384x1280)
-            # never materialize.  Source order matches torch.cat((y, x), 1).
+            # DenseNet chain; source order matches torch.cat((y, x), 1).
+            # split_decoder=True keeps the sources as a TUPLE (per-source
+            # kernel-slice convs, no concat buffers); the default
+            # materializes progressive concats — see the class docstring
+            # knob note for the measured e2e tradeoff.
             srcs = x if isinstance(x, tuple) else (x,)
+            if not self.split_decoder and len(srcs) > 1:
+                srcs = (jnp.concatenate(srcs, axis=-1),)
             for i, feat in enumerate([128, 128, 96, 64, 32]):
                 y = conv(feat, f"conv{lvl}_{i}")(srcs)
                 srcs = (y,) + srcs
+                if not self.split_decoder and len(srcs) > 1:
+                    srcs = (jnp.concatenate(srcs, axis=-1),)
             flow = TorchConv(2, 3, 1, dtype=dt, name=f"predict_flow{lvl}")(srcs)
             return srcs, flow
 

@@ -322,7 +322,18 @@ def _correct_sparse_tiles(out: Array, img: Array, x: Array, y: Array,
 
 def _tiled_eligible(img_shape, ry, rx):
     """Effective radii for the tiled kernel, or None if the geometry is too
-    small to profit (tiny pyramid levels gather fast anyway)."""
+    small to profit (tiny pyramid levels gather fast anyway).
+
+    Kernel cost is ~2*T*C*P*sh*sw FLOPs (every output pixel contracts its
+    whole slab), so wide-channel inputs only profit when the image is big
+    enough that the gather path's per-element cost dominates: measured at
+    PWC level 2 (96x320, C=33 with the rode-along mask) the kernel wins
+    10x (1.3 vs 13.7 ms) with an 8-row slab radius, while at the 24x80 /
+    48x160 levels (C=65/97) the two paths are a wash — hence the
+    C-vs-area gate below.  For C > 8 the vertical radius is capped at 8:
+    sh scales kernel FLOPs linearly and the bounded exact correction
+    patches the (rare, smooth-flow) escapees.
+    """
     from .pallas.warp_tile import TH, TW
 
     B, H, W, C = img_shape
@@ -330,8 +341,12 @@ def _tiled_eligible(img_shape, ry, rx):
     wp = W + (-W) % TW
     ry_eff = min(ry, (hp - TH - 2) // 2)
     rx_eff = min(rx, (wp - TW - 2) // 2)
-    if ry_eff < 8 or rx_eff < 8 or C > 8:
+    if ry_eff < 8 or rx_eff < 8:
         return None
+    if C > 8:
+        if C > 40 or H * W < 16384:
+            return None
+        ry_eff = min(ry_eff, 8)
     return ry_eff, rx_eff
 
 
@@ -369,9 +384,17 @@ def _make_sample_exact(padding_mode: str, ry: int, rx: int, interpret: bool):
         n_sparse = jnp.sum(sparse.astype(jnp.int32))
 
         def kernel_path():
+            # Image warps (C <= 8, [0,1]-range pixels) tolerate the MXU's
+            # default single-pass bf16 multiplies (~4e-3 sampling error,
+            # AMP-comparable).  FEATURE warps (wide-channel eligibility,
+            # PWC level 2) feed cost volumes, so they run the kernel's
+            # manual bf16x3 decomposition (~f32-exact, maxerr 4e-5;
+            # measured 4.2 vs the gather path's 13.7 ms — PWC e2e flow
+            # drift drops from 0.56% to noise).
             out = warp_tiled_sample(
                 img, sy, sx, ry=ry, rx=rx, zeros_mode=zeros,
                 interpret=interpret,
+                precision=("highest" if img.shape[-1] > 8 else "default"),
             )[0]
 
             def correct():
@@ -486,15 +509,26 @@ def warp_backward(img: Array, flow: Array, mode: str = "border",
         gx = 2.0 * x / max(W - 1, 1) - 1.0
         gy = 2.0 * y / max(H - 1, 1) - 1.0
         px, py = unnormalize_coords(gx, gy, H, W, align_corners=False)
-        # the warped-ones mask rides along as an extra channel: one sampler
-        # pass instead of two
-        ones = jnp.ones_like(img[..., :1])
-        both = bilinear_sample_auto(
-            jnp.concatenate([img, ones], axis=-1), px, py,
-            padding_mode="zeros", ry=ry, rx=rx,
-        )
-        out, mask = both[..., :-1], both[..., -1:]
-        mask = (mask >= 1e-4).astype(img.dtype)
+        out = bilinear_sample_auto(img, px, py, padding_mode="zeros",
+                                   ry=ry, rx=rx)
+        # The reference's warped-ones mask (grid_sample of ones, zeros
+        # padding) is exactly separable: each tap's in-bounds indicator
+        # factors per axis, so sum_ij w_i w_j in_i in_j =
+        # (sum_i w_i in_i)(sum_j w_j in_j).  Computing it analytically
+        # (instead of sampling a rode-along ones channel) keeps the
+        # >= 1e-4 threshold bit-stable across sampler implementations —
+        # a 4e-5 kernel-vs-gather difference in a sampled ones channel
+        # flips boundary mask bits and was the dominant term in PWC's
+        # kernel-vs-gather flow drift (measured 0.43%).
+        def axis_weight(coord, size):
+            f0 = jnp.floor(coord)
+            frac = coord - f0
+            w0 = jnp.where((f0 >= 0) & (f0 <= size - 1), 1.0 - frac, 0.0)
+            w1 = jnp.where((f0 + 1 >= 0) & (f0 + 1 <= size - 1), frac, 0.0)
+            return w0 + w1
+
+        mask = axis_weight(px, W) * axis_weight(py, H)
+        mask = (mask >= 1e-4).astype(img.dtype)[..., None]
         return out * mask
 
     if mode == "spynet":

@@ -51,7 +51,8 @@ TW = 128  # output tile cols (lane width)
 
 
 def _warp_kernel(starts_ref, sy_ref, sx_ref, img_ref, out_ref, slab, sem,
-                 *, sh, sw, c, height, width, tiles_per_image, zeros_mode):
+                 *, sh, sw, c, height, width, tiles_per_image, zeros_mode,
+                 precision):
     """One output tile.
 
     starts: scalar-prefetched (2*B*T,) SMEM int32; [2t] = start_y,
@@ -95,14 +96,30 @@ def _warp_kernel(starts_ref, sy_ref, sx_ref, img_ref, out_ref, slab, sem,
 
     cp.wait()
     sl = slab[...]  # (C, SH, SW)
-    th3 = jnp.broadcast_to(tenth[None], (c, sw, p)).astype(sl.dtype)
-    # C-batched (SH, SW) @ (SW, P): every output pixel's column coordinate
-    # sampled across all slab rows — the gather became a dense MXU dot.
-    h = lax.dot_general(
-        sl, th3,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (C, SH, P)
+
+    def cdot(a, b):
+        # C-batched (SH, SW) @ (SW, P): every output pixel's column
+        # coordinate sampled across all slab rows — the gather became a
+        # dense MXU dot.
+        return lax.dot_general(
+            a, jnp.broadcast_to(b[None], (c, sw, p)).astype(a.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    if precision == "highest" and sl.dtype == jnp.float32:
+        # Manual bf16x3 product decomposition (~f32-exact): Mosaic rejects
+        # Precision.HIGH, and Precision.HIGHEST trips the 16 MB
+        # scoped-VMEM stack limit at wide-channel shapes, so decompose by
+        # hand — the dropped lo*lo term is O(2^-16) relative.
+        sl_hi = sl.astype(jnp.bfloat16)
+        sl_lo = (sl - sl_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        th_hi = tenth.astype(jnp.bfloat16)
+        th_lo = (tenth - th_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        h = cdot(sl_hi, th_hi) + cdot(sl_lo, th_hi) + cdot(sl_hi, th_lo)
+    else:
+        h = cdot(sl, tenth)  # single-pass bf16 multiplies (default)
+    # h: (C, SH, P)
     # Vertical tent: sublane reduction over SH on the VPU.
     out = jnp.sum(h * tentv[None], axis=1)  # (C, P)
     out_ref[0] = out.astype(out_ref.dtype)
@@ -246,7 +263,8 @@ def warp_tiled_violation_plan(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ry", "rx", "zeros_mode", "interpret")
+    jax.jit,
+    static_argnames=("ry", "rx", "zeros_mode", "interpret", "precision"),
 )
 def warp_tiled_sample(
     img: Array,
@@ -256,6 +274,7 @@ def warp_tiled_sample(
     rx: int = 64,
     zeros_mode: bool = False,
     interpret: bool = False,
+    precision: str = "default",
 ) -> tuple[Array, Array]:
     """Sample ``img`` at absolute pixel coordinates via the tiled kernel.
 
@@ -265,6 +284,13 @@ def warp_tiled_sample(
     violations is a scalar int32 counting pixels whose bilinear support
     escaped their tile's slab — the caller must fall back to the gather
     path when violations > 0 for exact semantics.
+
+    precision: MXU precision of the tent-selector dot.  "default" (bf16
+    multiplies) keeps f32 sampling error ~4e-3 relative — fine for image
+    warps (AMP-comparable, FlowNet2/SPyNet stage chaining); "highest"
+    costs ~3x the MXU passes and is used by the auto path for
+    wide-channel FEATURE warps (PWC level 2) where that error would feed
+    the cost volumes.
     """
     B, H, W, C = img.shape
     Hp, Wp, sh, sw = _tile_geometry(img.shape, ry, rx)
@@ -295,7 +321,7 @@ def warp_tiled_sample(
     out = pl.pallas_call(
         functools.partial(
             _warp_kernel, sh=sh, sw=sw, c=C, height=H, width=W,
-            tiles_per_image=T, zeros_mode=zeros_mode,
+            tiles_per_image=T, zeros_mode=zeros_mode, precision=precision,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
