@@ -41,6 +41,7 @@ FLOWNETC_GPU_BASELINE = 28.0   # pairs/s
 PATCH_GPU_BASELINE = 9.0       # attack iters/s
 FLOWNET2_GPU_BASELINE = 8.0    # pairs/s (123 ms/frame on GTX 1080, scaled)
 SPYNET_GPU_BASELINE = 14.0     # pairs/s (~69 ms/frame Titan X, scaled)
+PWCNET_GPU_BASELINE = 32.0     # pairs/s (~35 fps Titan X Pascal, scaled)
 TRAIN_GPU_BASELINE = 6.0       # frames/s (RAFT train step @ 288x960,
 #                                derived: inference/3/pixel-ratio)
 
@@ -108,6 +109,10 @@ def main():
     dt = timed_loop(lambda a, b, v: spy.predict_fn(v, a, b),
                     (img1, img2, spy.variables), n=10)
     spy_pairs = BATCH / dt
+    pwc = fetch_model("PWCNet", pretrained_path=None, init_size=(128, 128))
+    dt = timed_loop(lambda a, b, v: pwc.predict_fn(v, a, b),
+                    (img1, img2, pwc.variables), n=15)
+    pwc_pairs = BATCH / dt
 
     # --- RAFT adversarial-finetuning train step (batch 4 @ 288x960) ---
     from understanding_flow_robustness_tpu.training import (
@@ -179,6 +184,15 @@ def main():
                         "unit": "frame-pairs/s",
                         "vs_baseline": round(
                             spy_pairs / SPYNET_GPU_BASELINE, 2
+                        ),
+                    },
+                    {
+                        "metric": "pwcnet_384x1280_frame_pairs"
+                                  "_per_sec_per_chip",
+                        "value": round(pwc_pairs, 2),
+                        "unit": "frame-pairs/s",
+                        "vs_baseline": round(
+                            pwc_pairs / PWCNET_GPU_BASELINE, 2
                         ),
                     },
                     {

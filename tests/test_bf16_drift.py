@@ -23,11 +23,12 @@ from understanding_flow_robustness_tpu.models import fetch_model
 H, W = 128, 256
 
 
-def _drift(zoo_id, kw16):
+def _drift(zoo_id, kw16, kw32=None):
     rng = np.random.RandomState(0)
     a = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
     b = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
-    m32 = fetch_model(zoo_id, pretrained_path=None, init_size=(64, 64))
+    m32 = fetch_model(zoo_id, pretrained_path=None, init_size=(64, 64),
+                      **(kw32 or {}))
     m16 = fetch_model(zoo_id, pretrained_path=None, init_size=(64, 64),
                       **kw16)
     f32 = np.asarray(jax.jit(m32.predict_fn)(m32.variables, a, b),
@@ -46,6 +47,15 @@ def _drift(zoo_id, kw16):
 ])
 def test_bf16_drift_within_bar(zoo_id, limit_pct):
     assert _drift(zoo_id, {"dtype": jnp.bfloat16}) < limit_pct
+
+
+def test_pwcnet_mixed_precision_drift():
+    """PWC-Net's production (registry) config is mixed precision — bf16
+    compute / f32 params with f32 flow heads (measured 0.87% rel drift at
+    full geometry, random weights); guard with ~2x margin."""
+    assert _drift(
+        "PWCNet", {"mixed_precision": True}, {"mixed_precision": False}
+    ) < 1.75
 
 
 def test_raft_mixed_precision_drift():

@@ -88,7 +88,11 @@ def test_pwcnet_pth_tar(tmp_path):
     ref_mod = oracle.ref_module("PWCNet")
     ref = ref_mod.PWCDCNet().eval()
     torch.save(ref.state_dict(), tmp_path / "pwc_net_chairs.pth.tar")
-    _assert_forward_parity("PWCNet", ref, tmp_path, tol=2e-2)
+    # strict numerics through the f32 path; the registry's production
+    # config is mixed precision (bf16 compute), checked at loose tol
+    _assert_forward_parity("PWCNet", ref, tmp_path, tol=2e-2,
+                           mixed_precision=False)
+    _assert_forward_parity("PWCNet", ref, tmp_path, tol=0.5)
 
 
 def _raft_args(**over):

@@ -37,6 +37,14 @@ class PWCNet(nn.Module):
     md: int = 4
     return_features: bool = False
     dtype: Optional[Any] = None
+    # bf16 compute / f32 params + f32 flow heads (predict_flow*, the flow
+    # deconvs, dc_conv7) — the reference's own AMP training runs its convs
+    # in fp16 (training/train.py GradScaler), so this is the
+    # reference-equivalent mixed policy, same pattern as RAFT's
+    # mixed_precision.  Measured at b8 384x1280: 53.7 -> ~45 ms; flow
+    # drift vs f32 ~0.9% relative on random weights (pessimistic proxy —
+    # see PERF.md drift table).  `dtype` overrides when set.
+    mixed_precision: bool = False
     # DenseNet decoder source handling.  The tuple-split form (conv per
     # source, summed — models/layers.py TorchConv) wins standalone at
     # every level, but LOSES ~6 ms e2e at b8 384x1280 (measured by
@@ -47,14 +55,18 @@ class PWCNet(nn.Module):
 
     @nn.compact
     def __call__(self, im1: Array, im2: Array, train: bool = False):
-        dt = self.dtype
+        dt = (self.dtype if self.dtype is not None
+              else (jnp.bfloat16 if self.mixed_precision else None))
+        # flow heads stay f32 under mixed precision (flow values are the
+        # output quantity; the heads are a negligible fraction of FLOPs)
+        head_dt = jnp.float32 if self.mixed_precision else dt
 
         def conv(feat, name, stride=1, dilation=1):
             c = TorchConv(feat, 3, stride, dilation=dilation, dtype=dt, name=name)
             return lambda x: leaky_relu(c(x))
 
-        def deconv(feat, name):
-            return TorchConvTranspose(feat, 4, 2, 1, dtype=dt, name=name)
+        def deconv(feat, name, dtype=dt):
+            return TorchConvTranspose(feat, 4, 2, 1, dtype=dtype, name=name)
 
         # RGB -> BGR (models/PWCNet.py:230-231)
         im1 = im1[..., ::-1]
@@ -104,14 +116,15 @@ class PWCNet(nn.Module):
                 srcs = (y,) + srcs
                 if not self.split_decoder and len(srcs) > 1:
                     srcs = (jnp.concatenate(srcs, axis=-1),)
-            flow = TorchConv(2, 3, 1, dtype=dt, name=f"predict_flow{lvl}")(srcs)
+            flow = TorchConv(2, 3, 1, dtype=head_dt,
+                             name=f"predict_flow{lvl}")(srcs)
             return srcs, flow
 
         # level 6 (coarsest)
         corr6 = correlate_pwc(c1[5], c2[5])
         feats_out["corr6"] = corr6
         x, flow6 = dense_decoder(leaky_relu(corr6), 6)
-        up_flow = deconv(2, "deconv6")(flow6)
+        up_flow = deconv(2, "deconv6", dtype=head_dt)(flow6)
         up_feat = deconv(2, "upfeat6")(x)
         flows[6] = flow6
 
@@ -131,7 +144,7 @@ class PWCNet(nn.Module):
             x, flow = dense_decoder(x, lvl)
             flows[lvl] = flow
             if lvl > 2:
-                up_flow = deconv(2, f"deconv{lvl}")(flow)
+                up_flow = deconv(2, f"deconv{lvl}", dtype=head_dt)(flow)
                 up_feat = deconv(2, f"upfeat{lvl}")(x)
 
         # context network (models/PWCNet.py:145-154, dilations 1..16)
@@ -141,7 +154,8 @@ class PWCNet(nn.Module):
         y = conv(96, "dc_conv4", dilation=8)(y)
         y = conv(64, "dc_conv5", dilation=16)(y)
         y = conv(32, "dc_conv6")(y)
-        flows[2] = flows[2] + TorchConv(2, 3, 1, dtype=dt, name="dc_conv7")(y)
+        flows[2] = flows[2] + TorchConv(
+            2, 3, 1, dtype=head_dt, name="dc_conv7")(y)
 
         def up4(f):
             B, H, W, _ = f.shape

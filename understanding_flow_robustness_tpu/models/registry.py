@@ -92,10 +92,14 @@ _SPECS: dict[str, ModelSpec] = {
         size_multiple=32,
     ),
     "PWCNet": ModelSpec(
-        lambda **kw: PWCNet(**kw), "pwc_net_chairs.pth.tar", "pwcnet",
+        # production config: bf16 compute / f32 params + f32 flow heads
+        # (reference-AMP-equivalent; drift guard in tests/test_bf16_drift)
+        lambda **kw: PWCNet(**{"mixed_precision": True, **kw}),
+        "pwc_net_chairs.pth.tar", "pwcnet",
     ),
     "PWCNet_adv_ifgsm_l2_002": ModelSpec(
-        lambda **kw: PWCNet(**kw), "adv_kitti2012_pwcnet_ifgsm_l2_0.02.pth",
+        lambda **kw: PWCNet(**{"mixed_precision": True, **kw}),
+        "adv_kitti2012_pwcnet_ifgsm_l2_0.02.pth",
         "pwcnet",
     ),
     "RAFT": ModelSpec(
