@@ -560,3 +560,57 @@ def test_alt_corr_vmem_fallback_large_maps():
     finally:
         C._ALT_VMEM_BUDGET = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_alt_lookup_row_slabs_interpret():
+    """Flow-following row slabs (ops/pallas/alt_corr.py::default_slabs +
+    _slab_meta): at a geometry where slabs activate, smooth coords must
+    take the slab branch (ok=1 on every tile) and wild coords must take
+    the exact full-extent fallback (ok=0 somewhere) — and BOTH must match
+    the no-slab kernel bit-for-bit, since slabbing only skips MXU work
+    the hat selectors zero-weight (modulo f32 reduction-tree
+    reassociation from the shorter contraction extent)."""
+    from understanding_flow_robustness_tpu.ops.pallas.alt_corr import (
+        _slab_meta,
+        alt_lookup,
+        default_slabs,
+        pool_fmap_levels,
+    )
+
+    B, H, W, C = 2, 40, 48, 16
+    N = H * W  # 1920: not a multiple of 256, exercises the pad path
+    n = 9
+    f1 = jnp.asarray(RNG.randn(B, N, C).astype(np.float32))
+    f2 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    levels = tuple(pool_fmap_levels(f2, 4))
+    shapes = tuple((l.shape[1], l.shape[2]) for l in levels)
+    slabs = default_slabs(shapes, 256, n)
+    assert slabs[0] > 0, f"slab should activate at this geometry: {slabs}"
+
+    grid = np.asarray(ops.coords_grid(H, W)).reshape(N, 2)[None]
+
+    # smooth flow: within-tile variation well inside the margin
+    smooth = jnp.asarray(
+        (grid + RNG.randn(B, N, 2).astype(np.float32) * 1.5).astype(
+            np.float32))
+    # wild flow: +-60 px iid -> needed bands exceed every slab
+    wild = jnp.asarray(
+        (grid + RNG.randn(B, N, 2).astype(np.float32) * 60).astype(
+            np.float32))
+
+    padn = (-N) % 256
+    for coords, want_all_ok in ((smooth, True), (wild, False)):
+        cpad = jnp.pad(coords, ((0, 0), (0, padn), (0, 0)))
+        _, all_ok = _slab_meta(cpad, N, shapes, slabs, 256, n)
+        if want_all_ok:
+            assert bool(all_ok), "smooth coords must stay inside their slabs"
+        else:
+            assert not bool(all_ok), "wild coords must trigger the fallback"
+        ref = alt_lookup(f1, levels, coords, 4, interpret=True)
+        got = alt_lookup(f1, levels, coords, 4, interpret=True,
+                         slabs=slabs)
+        # compare the real window lanes (padding lanes carry live hat
+        # samples whose values legitimately differ between extents)
+        gr = np.asarray(ref).reshape(B, N, 16, 4, 16)[:, :, :n, :, :n]
+        gg = np.asarray(got).reshape(B, N, 16, 4, 16)[:, :, :n, :, :n]
+        np.testing.assert_allclose(gg, gr, atol=1e-4)

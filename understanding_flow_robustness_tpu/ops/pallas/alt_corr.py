@@ -84,18 +84,38 @@ def _hat_selector(c, extent, tq, sel_dtype, deriv=False):
     return hat.astype(sel_dtype)
 
 
-def _alt_corr_kernel(cy_ref, cx_ref, f1_ref, *rest, shapes, tq, n,
-                     sel_dtype, out_dtype, deriv="none"):
+def _alt_corr_kernel(*refs, shapes, slabs, tq, n,
+                     sel_dtype, out_dtype, deriv="none", tiles=0):
     """All pyramid levels for one query tile.  Per level l:
       corr[q, h, w] = sum_c f1[q, c] * f2_l[h, w, c]      (MXU, dense)
       scol[q, s, w] = relu(1 - |w - (cx[q]/2^l - r + s)|)  (VPU hats)
       srow[q, t, h] = relu(1 - |h - (cy[q]/2^l - r + t)|)
       out_l[q, t, s] = sum_h srow * (sum_w scol * corr)    (batched MXU)
     cy/cx hold the level-0 window CENTER; top-left = center/2^l - r.
-    The scol contraction picks whichever operand order gives the larger
-    MXU M dim (hl vs the 16 window rows); the srow contraction then always
-    emits the uniform (t, s) window orientation."""
+    The scol contraction runs scol-first at every level (measured faster
+    than the corr-first order even where that has the larger MXU M dim);
+    the srow contraction then emits the uniform (t, s) window
+    orientation.
+
+    slabs[l] > 0 enables the flow-following ROW SLAB for level l: the
+    corr dot runs against only ``slabs[l]`` consecutive rows of the
+    VMEM-resident f2 (a dynamic major-dim slice at the per-tile origin
+    read from the SMEM ``meta_ref``), since a 256-query row-major tile
+    only ever *consumes* a ~(n+1)-row band around its flow.  The slab
+    variant is only CALLED when the host-side exact needed-row test says
+    every tile's band fits its slab (the ``lax.cond`` in ``alt_lookup``)
+    — an in-kernel ``pl.when`` fallback was measured to erase the entire
+    saving even when never taken (branched all-ok 5.89 ms vs branch-free
+    5.00 ms vs full 6.28 ms at RAFT KITTI geometry), so the fallback
+    lives at the call level, not the tile level."""
     L = len(shapes)
+    n_slab = sum(1 for s in slabs if s)
+    if n_slab:
+        meta_ref, cy_ref, cx_ref, f1_ref = refs[:4]
+        rest = refs[4:]
+    else:
+        cy_ref, cx_ref, f1_ref = refs[:3]
+        rest = refs[3:]
     f2_refs, out_ref = rest[:L], rest[L]
     f1t = f1_ref[0]  # (tq, C) sel_dtype
     C = f1t.shape[1]
@@ -103,6 +123,46 @@ def _alt_corr_kernel(cy_ref, cx_ref, f1_ref, *rest, shapes, tq, n,
     cy0 = cy_ref[0]  # (tq, 1, 1) f32
     cx0 = cx_ref[0]
 
+    def emit(lvl, cy, cx, f2blk, sh, wl):
+        # Corr rows as ONE sh-batched MXU dot against a broadcast f1 tile.
+        # (Mosaic cannot reshape a (tq, Hl*Wl) matmul result to 3D, and
+        # row-wise stores need an unsupported 2D->3D expand; the batched
+        # dot + a major-dims transpose is what it lowers cleanly.)
+        f1e = jnp.broadcast_to(f1t[None], (sh, tq, C))
+        corrH = lax.dot_general(
+            f1e, f2blk,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # (sh, tq, Wl)
+        corr = jnp.transpose(corrH, (1, 0, 2)).astype(sel_dtype)
+
+        scol = _hat_selector(cx, wl, tq, sel_dtype, deriv=(deriv == "x"))
+        srow = _hat_selector(cy, sh, tq, sel_dtype, deriv=(deriv == "y"))
+
+        # scol-first at EVERY level: the corr-first order (M = hl on the
+        # level-0 dot, "better utilization" on paper) measured SLOWER —
+        # 6.52 vs 6.16 ms/iter full-extent, 144.4 vs 140.9 ms RAFT e2e —
+        # the (tq, hl, P) f32 intermediate it materializes costs more
+        # than the M=16 dot loses.
+        cols = lax.dot_general(
+            scol, corr,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(sel_dtype)  # (tq, P[s], SH)
+        out_l = lax.dot_general(
+            srow, cols,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # (tq, P[t], P[s])
+        # levels stack along lanes: minor dim L*16 keeps every downstream
+        # copy/contraction lane-dense (a 16-lane minor runs at 1/8 width)
+        out_ref[0, :, :, lvl * TILE_P:(lvl + 1) * TILE_P] = out_l.astype(
+            out_dtype)
+
+    si = 0
     for lvl, (hl, wl) in enumerate(shapes):
         inv = 1.0 / (2 ** lvl)
         # clamp far-out centers so the f32 hat arithmetic stays exact; a
@@ -110,61 +170,86 @@ def _alt_corr_kernel(cy_ref, cx_ref, f1_ref, *rest, shapes, tq, n,
         cy = jnp.clip(cy0 * inv - n // 2, -2.0 * TILE_P, hl + 2.0)
         cx = jnp.clip(cx0 * inv - n // 2, -2.0 * TILE_P, wl + 2.0)
 
-        # Corr rows as ONE hl-batched MXU dot against a broadcast f1 tile.
-        # (Mosaic cannot reshape a (tq, Hl*Wl) matmul result to 3D, and
-        # row-wise stores need an unsupported 2D->3D expand; the batched
-        # dot + a major-dims transpose is what it lowers cleanly.)
-        f1e = jnp.broadcast_to(f1t[None], (hl, tq, C))
-        corrH = lax.dot_general(
-            f1e, f2_refs[lvl][0],
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )  # (Hl, tq, Wl)
-        corr = jnp.transpose(corrH, (1, 0, 2)).astype(sel_dtype)
-
-        scol = _hat_selector(cx, wl, tq, sel_dtype, deriv=(deriv == "x"))
-        srow = _hat_selector(cy, hl, tq, sel_dtype, deriv=(deriv == "y"))
-
-        if hl > TILE_P:
-            # M = hl on the MXU (3x the utilization of M = 16 at level 0)
-            colsT = lax.dot_general(
-                corr, scol,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            ).astype(sel_dtype)  # (tq, Hl, P[s])
-            out_l = lax.dot_general(
-                srow, colsT,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )  # (tq, P[t], P[s])
+        sh = slabs[lvl]
+        if sh:
+            base = (pl.program_id(0) * tiles + pl.program_id(1)) * n_slab
+            oy = meta_ref[base + si]
+            si += 1
+            emit(lvl, cy - oy.astype(jnp.float32), cx,
+                 f2_refs[lvl][0, pl.ds(oy, sh), :, :], sh, wl)
         else:
-            cols = lax.dot_general(
-                scol, corr,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            ).astype(sel_dtype)  # (tq, P[s], Hl)
-            out_l = lax.dot_general(
-                srow, cols,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )  # (tq, P[t], P[s])
-        # levels stack along lanes: minor dim L*16 keeps every downstream
-        # copy/contraction lane-dense (a 16-lane minor runs at 1/8 width)
-        out_ref[0, :, :, lvl * TILE_P:(lvl + 1) * TILE_P] = out_l.astype(
-            out_dtype)
+            emit(lvl, cy, cx, f2_refs[lvl][0], hl, wl)
+
+
+def default_slabs(shapes, tile: int, n: int,
+                  w0: int | None = None) -> tuple[int, ...]:
+    """Per-level row-slab heights for `alt_lookup(slabs=...)`.
+
+    A row-major query tile of ``tile`` queries spans ``ceil(tile/W0) + 1``
+    level-0 image rows, so its consumed corr rows form a band of
+    ``span/2^l + n + 1`` rows plus the within-tile flow-y variation.  The
+    margin (8 rows at level 0, halving per level, min 4) absorbs ~±32 px
+    of full-res flow-y variation inside one tile — tiles beyond it take
+    the kernel's exact full-extent fallback.  0 = no slab (level too
+    short for the slab to pay)."""
+    slabs = []
+    for lvl, (hl, wl) in enumerate(shapes):
+        if w0 is None:
+            w0 = wl  # level-0 width
+        span = -(-tile // w0) + 1
+        need = -(-span >> lvl) + n + 1 + max(8 >> lvl, 4)
+        sh = need + (-need) % 8
+        slabs.append(sh if sh <= hl - 8 else 0)
+    return tuple(slabs)
+
+
+def _slab_meta(coords, valid_n, shapes, slabs, tile, n):
+    """Per-tile slab row-origins + the all-tiles-covered predicate.
+
+    For each slab level, the needed corr-row range of every query is the
+    integer-grid support of its hat selector intersected with the volume
+    ([floor(cy), floor(cy) + n] clipped to [0, hl)); the tile's band is
+    the min/max over its REAL queries (padded queries excluded).  Returns
+    ``(oy, all_ok)``: oy (B, T, n_slab) int32 origins (each covers its
+    tile's band whenever that band fits the slab), and all_ok a scalar
+    bool that is True iff EVERY tile's band fits — the exact predicate
+    `alt_lookup`'s lax.cond uses to pick the slab kernel."""
+    B, np_, _ = coords.shape
+    T = np_ // tile
+    cyq = coords[..., 1].astype(jnp.float32).reshape(B, T, tile)
+    qidx = jnp.arange(np_).reshape(1, T, tile)
+    valid = qidx < valid_n
+    oys, oks = [], []
+    for lvl, (hl, wl) in enumerate(shapes):
+        sh = slabs[lvl]
+        if not sh:
+            continue
+        inv = 1.0 / (2 ** lvl)
+        cyl = jnp.clip(cyq * inv - n // 2, -2.0 * TILE_P, hl + 2.0)
+        lo = jnp.floor(cyl - 1.0).astype(jnp.int32) + 1
+        hi = jnp.ceil(cyl + n).astype(jnp.int32) - 1
+        lo = jnp.maximum(lo, 0)
+        hi = jnp.minimum(hi, hl - 1)
+        needed = (lo <= hi) & valid
+        big = jnp.int32(1 << 20)
+        LO = jnp.min(jnp.where(needed, lo, big), axis=2)   # (B, T)
+        HI = jnp.max(jnp.where(needed, hi, -1), axis=2)
+        oy = jnp.clip(jnp.minimum(LO, jnp.int32(hl)), 0, hl - sh)
+        oys.append(oy)
+        oks.append(HI - oy < sh)
+    oy = jnp.stack(oys, axis=-1)  # (B, T, n_slab) int32
+    all_ok = jnp.all(jnp.stack(oks, axis=-1))
+    return oy, all_ok
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "tile", "interpret", "deriv")
+    jax.jit, static_argnames=("radius", "tile", "interpret", "deriv",
+                              "slabs")
 )
 def alt_lookup(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
                radius: int, tile: int = 256,
-               interpret: bool = False, deriv: str = "none") -> Array:
+               interpret: bool = False, deriv: str = "none",
+               slabs: tuple[int, ...] | None = None) -> Array:
     """Fused lookup over all pyramid levels in one kernel.
 
     f1: (B, N, C) query features, pre-scaled by 1/sqrt(C) (bf16
@@ -174,11 +259,22 @@ def alt_lookup(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
     of the on-demand level-l correlation image at
     (y/2^l - r + t, x/2^l - r + s), zeros outside the volume; rows/cols
     past 2*radius+1 are live padding samples.
+
+    slabs: per-level row-slab heights (see `default_slabs`); None
+    disables slabbing (full-extent corr dots at every level).  When set,
+    the host computes each tile's exact needed-row band and a lax.cond
+    picks the branch-free slab kernel iff EVERY band fits its slab, else
+    the full-extent kernel — values are identical either way (modulo f32
+    reduction-tree reassociation of the shorter contraction), so the
+    fast path is a pure work skip, never a semantics change.
     """
     n = 2 * radius + 1
     assert n + 1 <= TILE_P, "radius too large for the 16-wide window tile"
     B, N, C = f1.shape
     shapes = tuple((f.shape[1], f.shape[2]) for f in f2_levels)
+    if slabs is None:
+        slabs = (0,) * len(shapes)
+    n_slab = sum(1 for s in slabs if s)
 
     padn = (-N) % tile
     if padn:
@@ -194,50 +290,70 @@ def alt_lookup(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
     L = len(shapes)
     grid = (B, np_ // tile)
 
-    flops = 0
-    for hl, wl in shapes:
-        flops += 2 * np_ * hl * wl * C          # corr recompute
-        flops += 2 * np_ * TILE_P * wl * hl     # scol contraction
-        flops += 2 * np_ * TILE_P * TILE_P * hl  # srow contraction
+    def run(slabs_, meta_flat):
+        flops = 0
+        for lvl, (hl, wl) in enumerate(shapes):
+            eh = slabs_[lvl] or hl
+            flops += 2 * np_ * eh * wl * C          # corr recompute
+            flops += 2 * np_ * TILE_P * wl * eh     # scol contraction
+            flops += 2 * np_ * TILE_P * TILE_P * eh  # srow contraction
+        has_meta = any(slabs_)
+        # flat (B*T*k,) int32 in SMEM (whole-array spec: SMEM blocks must
+        # match the array dims); the kernel indexes it from program_id
+        meta_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] if has_meta else []
+        )
+        meta_args = (meta_flat,) if has_meta else ()
+        return pl.pallas_call(
+            functools.partial(
+                _alt_corr_kernel, shapes=shapes, slabs=slabs_, tq=tile,
+                n=n, sel_dtype=sel_dtype, out_dtype=out_dtype, deriv=deriv,
+                tiles=np_ // tile,
+            ),
+            grid=grid,
+            in_specs=meta_specs + [
+                pl.BlockSpec((1, tile, 1, 1), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, 1, 1), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec((1, hl, wl, C), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for hl, wl in shapes
+            ],
+            out_specs=pl.BlockSpec((1, tile, TILE_P, L * TILE_P),
+                                   lambda b, i: (b, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, np_, TILE_P, L * TILE_P),
+                                           out_dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=B * flops,
+                bytes_accessed=(f1.size + sum(f.size for f in f2_levels))
+                * f1.dtype.itemsize
+                + B * np_ * TILE_P * L * TILE_P
+                * jnp.dtype(out_dtype).itemsize,
+                transcendentals=0,
+            ),
+            # f32 corrH + its bf16 transposed copy + the broadcast f1 tile
+            # for level 0 exceed the 16 MB default scoped-vmem limit
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*meta_args, cy, cx, f1, *f2_levels)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _alt_corr_kernel, shapes=shapes, tq=tile, n=n,
-            sel_dtype=sel_dtype, out_dtype=out_dtype, deriv=deriv,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile, 1, 1), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 1, 1), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [
-            pl.BlockSpec((1, hl, wl, C), lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for hl, wl in shapes
-        ],
-        out_specs=pl.BlockSpec((1, tile, TILE_P, L * TILE_P),
-                               lambda b, i: (b, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, np_, TILE_P, L * TILE_P),
-                                       out_dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=B * flops,
-            bytes_accessed=(f1.size + sum(f.size for f in f2_levels))
-            * f1.dtype.itemsize
-            + B * np_ * TILE_P * L * TILE_P
-            * jnp.dtype(out_dtype).itemsize,
-            transcendentals=0,
-        ),
-        # f32 corrH + its bf16 transposed copy + the broadcast f1 tile for
-        # level 0 exceed the 16 MB default scoped-vmem limit
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(cy, cx, f1, *f2_levels)
+    if n_slab:
+        oy, all_ok = _slab_meta(coords, N, shapes, slabs, tile, n)
+        out = lax.cond(
+            all_ok,
+            lambda m: run(slabs, m),
+            lambda m: run((0,) * L, m),
+            oy.reshape(-1),
+        )
+    else:
+        out = run(slabs, None)
 
     return out[:, :N]
 
@@ -298,8 +414,11 @@ def alt_corr_features(
         levels = [l.astype(compute_dtype) for l in levels]
 
     cflat = coords.reshape(B, N, 2).astype(jnp.float32)
+    shapes = tuple((l.shape[1], l.shape[2]) for l in levels)
+    slabs = default_slabs(shapes, 256, n)
     stacked = alt_lookup(f1, tuple(levels), cflat, radius,
-                         interpret=interpret)  # (B, N, P, L*P)
+                         interpret=interpret,
+                         slabs=slabs)  # (B, N, P, L*P)
     if padded:
         # channel = t * (L*16) + l*16 + s: one tile-aligned reshape.
         # Keeps the kernel's compute dtype (bf16 in production) — the
