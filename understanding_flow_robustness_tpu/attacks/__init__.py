@@ -45,6 +45,7 @@ from .patch import (  # noqa: E402
     get_patch_and_mask,
     get_self_correlated_patches,
     init_patch_circle,
+    init_patch_from_image,
     init_patch_square,
     square_transform,
 )
@@ -71,6 +72,7 @@ __all__ += [
     "get_patch_and_mask",
     "get_self_correlated_patches",
     "init_patch_circle",
+    "init_patch_from_image",
     "init_patch_square",
     "make_patch_attack_step",
     "make_universal_attack_step",

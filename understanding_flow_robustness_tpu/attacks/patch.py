@@ -42,6 +42,29 @@ def init_patch_circle(image_size: int, patch_size: float):
     return patch, mask, patch.shape
 
 
+def init_patch_from_image(image_path: str, mask_path: str,
+                          image_size: int, patch_size: float):
+    """utils_patch.py:769-778: initialize the patch from an image file.
+
+    Side = floor(image_size * sqrt(patch_size)); the patch image maps to
+    [-1, 1) via /128 - 1, the mask image to [0, 1) via /256.  NHWC
+    (1, d, d, 3) instead of the reference's NCHW.
+    """
+    from ..flowviz.io import read_image
+    from ..native import resize_bilinear_u8
+
+    dim = int(np.floor(image_size * np.sqrt(patch_size)))
+    patch_img = read_image(image_path)
+    patch = resize_bilinear_u8(
+        patch_img.astype(np.uint8), dim, dim
+    ).astype(np.float32) / 128.0 - 1.0
+    mask_img = read_image(mask_path)
+    mask = resize_bilinear_u8(
+        mask_img.astype(np.uint8), dim, dim
+    ).astype(np.float32) / 256.0
+    return patch[None], mask[None], (1, dim, dim, 3)
+
+
 def create_random_patch(patch_type: str, patch_size: int) -> np.ndarray:
     """utils_patch.py:38-59: gaussian/uniform/black/white/red/gray."""
     if patch_type == "gaussian":

@@ -52,6 +52,34 @@ def build_parser():
     p.add_argument("--epoch-size", type=int, default=100)
     p.add_argument("--l2", action="store_true", help="L2 loss (else cossim)")
     p.add_argument("--norotate", action="store_true")
+    p.add_argument("--patch-path", type=str, default="",
+                   help="initialize patch from this image (main.py:48)")
+    p.add_argument("--mask-path", type=str, default="",
+                   help="initialize mask from this image (main.py:51)")
+    p.add_argument("--DEBUG", action="store_true",
+                   help="truncate the train set to 8 samples (main.py:238)")
+    p.add_argument("-j", "--workers", type=int, default=4,
+                   help="reference DataLoader workers; accepted for parity")
+    p.add_argument("--log-terminal", action="store_true",
+                   help="multi-bar terminal UI (logger.py TermLogger)")
+    p.add_argument("--log-output", action="store_true",
+                   help="dump flow visualizations during validation")
+    p.add_argument("--log-summary", default="progress_log_summary.csv",
+                   help="accepted for reference parity; the reference "
+                        "parses but never writes it (main.py:136-141)")
+    p.add_argument("--log-full", default="progress_log_full.csv",
+                   help="accepted for reference parity; unused upstream "
+                        "too (main.py:142-147)")
+    p.add_argument("--print-freq", type=int, default=10,
+                   help="accepted for reference parity; unused upstream")
+    p.add_argument("--momentum", type=float, default=0.9,
+                   help="accepted for reference parity; the attack update "
+                        "is hand-coded, the flag is dead upstream "
+                        "(main.py:88-92)")
+    p.add_argument("--beta", type=float, default=0.999,
+                   help="accepted for reference parity; dead upstream")
+    p.add_argument("--weight-decay", type=float, default=0.0,
+                   help="accepted for reference parity; dead upstream")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--name", type=str, default="patch_run")
     p.add_argument("--output", type=str, default="output/patch_attacks")
@@ -71,7 +99,9 @@ def main(argv=None):
     model = fetch_model(args.flownet, pretrained_path=(
         args.pretrained_path if os.path.isdir(args.pretrained_path) else None
     ))
-    predict_jit = jax.jit(lambda a, b: model.predict(a, b))
+    # model.predict is already a cached jit with variables as a traced
+    # argument; an outer jax.jit would re-inline the params as constants
+    predict_jit = model.predict
 
     out_dir = os.path.join(args.output, args.name)
     os.makedirs(os.path.join(out_dir, "patches"), exist_ok=True)
@@ -86,6 +116,14 @@ def main(argv=None):
     else:
         patch, patch_shape = init_patch_square(args.image_size, args.patch_size)
         mask = np.ones(patch_shape, np.float32)
+    if args.patch_path:
+        # resume/warm-start from an image pair (main.py:287-291)
+        from ..attacks import init_patch_from_image
+
+        patch, mask, patch_shape = init_patch_from_image(
+            args.patch_path, args.mask_path, args.image_size,
+            args.patch_size,
+        )
     patch_init = patch.copy()
 
     cfg = PatchAttackConfig(
@@ -103,7 +141,8 @@ def main(argv=None):
         if args.synthetic:
             rng = np.random.RandomState(args.seed)
             h, w = args.synthetic_size
-            for _ in range(args.synthetic):
+            n = min(args.synthetic, 8) if args.DEBUG else args.synthetic
+            for _ in range(n):
                 yield (rng.rand(1, h, w, 3).astype(np.float32),
                        rng.rand(1, h, w, 3).astype(np.float32))
             return
@@ -118,7 +157,8 @@ def main(argv=None):
         ])
         ds = SequenceFolder(args.data, seed=args.seed, train=True,
                             sequence_length=3, transform=transform)
-        for i in range(len(ds)):
+        n = min(len(ds), 8) if args.DEBUG else len(ds)  # main.py:238-241
+        for i in range(n):
             tgt, refs, _ = ds[i]
             yield tgt[None], refs[1][None]
 
@@ -143,8 +183,17 @@ def main(argv=None):
             past, tgt, fut, gt_flow, _, _, _ = ds[i]
             yield past[None], tgt[None], fut[None], gt_flow[None]
 
+    term = None
+    if args.log_terminal:
+        from ..utils.meters import TermLogger
+
+        term = TermLogger(n_epochs=args.epochs, train_size=args.epoch_size,
+                          valid_size=0, attack_size=args.max_count)
+
     errors = AverageMeter(i=4)
     for epoch in range(args.epochs):
+        if term is not None:
+            term.epoch_bar.update(epoch)
         patch, mask, patch_init, patch_shape = train_patch_epoch(
             attack_step, predict_jit, patch, mask, patch_init, patch_shape,
             train_batches(), patch_type=args.patch_type,
@@ -157,6 +206,14 @@ def main(argv=None):
         errors.update([metrics["epe"], metrics["adv_epe"],
                        metrics["cos_sim"], metrics["adv_cos_sim"]])
         np.save(os.path.join(out_dir, "patches", f"epoch_{epoch}.npy"), patch)
+        if args.log_output:
+            # qualitative dump of the current patch (main.py:699 logs viz
+            # images to TensorBoard; we save the patch canvas as PNG)
+            from PIL import Image
+
+            Image.fromarray(
+                (np.clip(patch[0], 0, 1) * 255).astype(np.uint8)
+            ).save(os.path.join(out_dir, "patches", f"epoch_{epoch}.png"))
         if writer is not None:
             for k, v in metrics.items():
                 writer.add_scalar(f"val/{k}", v, epoch)

@@ -52,7 +52,9 @@ def main(argv=None):
     model = fetch_model(args.flownet, pretrained_path=(
         args.pretrained_path if os.path.isdir(args.pretrained_path) else None
     ))
-    predict_jit = jax.jit(lambda a, b: model.predict(a, b))
+    # model.predict is already a cached jit with variables as a
+    # traced argument; an outer jax.jit would re-inline the params
+    predict_jit = model.predict
 
     patch, mask, patch_shape = load_patch(args)
     m_size = patch_shape[2]

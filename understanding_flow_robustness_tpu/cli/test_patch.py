@@ -32,6 +32,7 @@ from ..attacks import (
     create_correlated_patch,
     create_random_patch,
     create_circular_mask,
+    square_transform,
 )
 from ..attacks.losses import compute_cossim, compute_epe
 from ..attacks.patch3d import project_patch_3d_scene
@@ -50,9 +51,27 @@ def build_parser():
                    help="KITTI raw root (calib/poses for --true_motion)")
     p.add_argument("--sintel-dir", type=str, default="datasets/Sintel")
     p.add_argument("--patch_path", type=str, default=None)
+    p.add_argument("--patch_name", type=str, default="",
+                   help="patch file under {name}/{valset}/{flownet}/"
+                        "{instance}/patches/ (reference save-path layout, "
+                        "test_patch.py:156-161)")
+    p.add_argument("--instance", type=str, default="",
+                   help="save-path sub-directory (test_patch.py:40)")
+    p.add_argument("--patch_type", type=str, default="circle",
+                   choices=["circle", "square"],
+                   help="placement transform + default mask shape")
+    p.add_argument("--mask_path", type=str, default="",
+                   help="image file resized to the patch and /256 as the "
+                        "mask (utils_patch.py:24-27)")
+    p.add_argument("--compression", type=float, default=0.0,
+                   help="accepted for reference CLI parity; unused there "
+                        "too (parsed at test_patch.py:63-70, never read)")
+    p.add_argument("-j", "--workers", type=int, default=4,
+                   help="reference DataLoader workers; accepted for parity "
+                        "(this CLI iterates the dataset directly)")
     p.add_argument("--random_patch", type=str, default=None,
-                   choices=["gaussian", "uniform", "black", "white", "red",
-                            "gray"])
+                   choices=["", "gaussian", "uniform", "black", "white",
+                            "red", "gray", "self"])
     p.add_argument("--self_correlated_patch", type=str, default=None)
     p.add_argument("--patch_size", type=int, default=100,
                    help="pixels (for random/self-correlated patches)")
@@ -65,7 +84,8 @@ def build_parser():
                         "calib/poses, or --synthetic)")
     p.add_argument("--ignore_mask_flow", action="store_true",
                    help="ignore flow in mask region (test_patch.py:89)")
-    p.add_argument("--homogeneous", action="store_true",
+    p.add_argument("--homogeneous", "--HOMOGENUOUS", dest="homogeneous",
+                   action="store_true",
                    help="0.5-gray images, zero GT (--HOMOGENUOUS upstream)")
     p.add_argument("--example", type=int, default=0)
     p.add_argument("--no_viz", action="store_true",
@@ -78,19 +98,65 @@ def build_parser():
     return p
 
 
+def _load_patch_file(path):
+    """np.load with a torch.load fallback: patches trained by this repo
+    are .npy (NHWC); patches from the reference pipeline are torch-saved
+    NCHW tensors (utils_patch.py:20)."""
+    try:
+        arr = np.load(path)
+        if not isinstance(arr, np.ndarray):
+            raise ValueError("not a plain .npy")  # torch zips load as NpzFile
+    except (ValueError, OSError):
+        import torch
+
+        t = torch.load(path, map_location="cpu")
+        arr = np.asarray(t.detach().numpy() if hasattr(t, "detach") else t)
+        if arr.ndim == 4 and arr.shape[1] == 3 and arr.shape[-1] != 3:
+            arr = arr.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+    return arr.astype(np.float32)
+
+
 def load_patch(args):
     if args.self_correlated_patch:
         patch = create_correlated_patch(args.self_correlated_patch,
                                         args.patch_size)
     elif args.random_patch:
+        if args.random_patch == "self":
+            # the reference lists "self" among the choices but
+            # create_random_patch has no such branch (utils_patch.py:38-59
+            # raises UnboundLocalError); fail with a clear message instead
+            raise SystemExit(
+                "--random_patch self has no implementation in the "
+                "reference either; use --self_correlated_patch")
         patch = create_random_patch(args.random_patch, args.patch_size)
     elif args.patch_path:
-        patch = np.load(args.patch_path)
+        patch = _load_patch_file(args.patch_path)
+    elif args.patch_name:
+        # reference save-path layout (test_patch.py:137-161):
+        # {name}/{valset}/{flownet}/{instance}/patches/{patch_name}
+        path = os.path.join(args.name, args.valset, args.flownet,
+                            args.instance, "patches", args.patch_name)
+        patch = _load_patch_file(path)
     else:
-        raise SystemExit("need --patch_path / --random_patch / "
-                         "--self_correlated_patch")
-    m = create_circular_mask(patch.shape[1], patch.shape[2]).astype("float32")
-    mask = np.tile(m[None, :, :, None], (1, 1, 1, 3))
+        raise SystemExit("need --patch_path / --patch_name / "
+                         "--random_patch / --self_correlated_patch")
+    if args.mask_path:
+        # custom mask image, resized to the patch and /256
+        # (utils_patch.py:24-27)
+        from ..flowviz.io import read_image
+        from ..native import resize_bilinear_u8
+
+        m_img = read_image(args.mask_path)
+        mask = resize_bilinear_u8(
+            m_img.astype(np.uint8), patch.shape[1], patch.shape[2]
+        ).astype(np.float32) / 256.0
+        mask = mask[None]
+    elif args.patch_type == "square":
+        mask = np.ones(patch.shape, np.float32)  # utils_patch.py:32
+    else:
+        m = create_circular_mask(patch.shape[1],
+                                 patch.shape[2]).astype("float32")
+        mask = np.tile(m[None, :, :, None], (1, 1, 1, 3))
     return patch, mask, patch.shape
 
 
@@ -194,7 +260,10 @@ def main(argv=None):
     model = fetch_model(args.flownet, pretrained_path=(
         args.pretrained_path if os.path.isdir(args.pretrained_path) else None
     ))
-    predict_jit = jax.jit(lambda a, b: model.predict(a, b))
+    # model.predict is already a cached jit taking variables as a TRACED
+    # argument; wrapping it in another jax.jit would re-inline the params
+    # as HLO constants (see PERF.md "Program size")
+    predict_jit = model.predict
 
     patch, mask, patch_shape = load_patch(args)
     out_dir = os.path.join(args.output, args.name)
@@ -236,6 +305,23 @@ def main(argv=None):
             pc_tgt, pc_ref = [p.astype(np.float32) for p in pcs]
             mc_tgt, mc_ref = [m.astype(np.float32) for m in mcs]
             pc_past, mc_past = pc_tgt, mc_tgt
+        elif args.patch_type == "square":
+            # reference dispatch at test_patch.py:342-350 (square placement
+            # has no zoom/fixed-loc; rotation is 90-degree steps)
+            pc, mc, _, rx, ry = square_transform(
+                patch.copy(), mask.copy(), patch.copy(), tgt.shape,
+                patch_shape, norotate=args.norotate,
+            )
+            pshape2 = patch_shape
+            pc_tgt = pc_ref = pc_past = pc.astype(np.float32)
+            mc_tgt = mc_ref = mc_past = mc.astype(np.float32)
+            if calib and not args.homogeneous:
+                pc_ref, mc_ref, pc_past, mc_past, forward_patch_flow = (
+                    project_patch_3d_scene(
+                        calib, poses, disp, pc_tgt, mc_tgt, rx, ry, pshape2,
+                        w_gt, h_gt, forward_patch_flow,
+                    )
+                )
         else:
             pc, mc, _, rx, ry, pshape2 = circle_transform(
                 patch.copy(), mask, patch.copy(), tgt.shape, patch_shape,
