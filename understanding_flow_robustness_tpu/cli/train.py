@@ -56,6 +56,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    import jax
+
     from ..models import fetch_model
     from ..utils import enable_compilation_cache
 
@@ -64,6 +66,9 @@ def main(argv=None):
     if args.model.startswith("RAFT"):
         kwargs["iters"] = args.iters
     model = fetch_model(args.model, pretrained_path=None, **kwargs)
+    n_params = sum(int(np.prod(p.shape)) for p in
+                   jax.tree_util.tree_leaves(model.variables["params"]))
+    print(f"Parameter Count: {n_params}")  # training/train.py:102
     if args.restore_ckpt:
         from ..training.checkpoint import load_weights
 
@@ -81,7 +86,9 @@ def main(argv=None):
         checkpoint_dir=os.path.join(args.checkpoint_dir, args.name),
         loss_type="sequence",
         flownetc=is_flownetc_style, pwc="PWC" in args.model,
-        freeze_bn=args.stage != "chairs",
+        # train.py:130-137: BN frozen for non-chairs stages, but only for
+        # RAFT-style models (flexible/FlowNetC/PWC are excluded there).
+        freeze_bn=args.stage != "chairs" and model.is_raft,
         adversarial=args.adversarial,
         adv_config=PerturbConfig(
             perturb_method=args.adv_method, flow_loss=args.adv_loss,

@@ -54,18 +54,29 @@ def make_train_step(
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"] if not freeze_bn else []
+        # freeze_bn == the reference's ``m.eval()`` on every BatchNorm2d
+        # (models/raft/raft.py:97-100): batch norm uses running stats and
+        # writes nothing.  ``train`` only selects norm behavior in these
+        # models (no dropout), so train=False + test_mode=False reproduces
+        # that exactly while keeping per-iteration predictions.
+        norm_train = not freeze_bn
         img1, img2 = batch["image1"], batch["image2"]
         if is_raft:
             img1, img2 = img1 * 255.0, img2 * 255.0
-            call_kw = dict(train=True, test_mode=False)
+            call_kw = dict(train=norm_train, test_mode=False)
         else:
-            call_kw = dict(train=True)
-        out = model.apply(variables, img1, img2, mutable=mutable, **call_kw)
+            call_kw = dict(train=norm_train)
+        # NOTE: flax returns (out, vars) for ANY non-False ``mutable``,
+        # including an empty list — only pass it when non-empty, else
+        # models without batch stats (FlowNet family) and freeze_bn
+        # fine-tuning unpack garbage.
         if mutable:
-            preds, new_vars = out
+            preds, new_vars = model.apply(
+                variables, img1, img2, mutable=mutable, **call_kw)
             new_stats = new_vars.get("batch_stats", batch_stats)
         else:
-            preds, new_stats = out, batch_stats
+            preds = model.apply(variables, img1, img2, **call_kw)
+            new_stats = batch_stats
         preds = list(preds)
         loss, metrics = loss_fn_impl(
             preds, batch["flow"], batch["valid"],
