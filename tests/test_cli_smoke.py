@@ -88,3 +88,87 @@ def test_moving_patch_cli_whole_img(tmp_path):
         "--no_viz", "--whole_img", "1",
     ])
     assert all(np.isfinite(v) for v in vals)
+
+
+def test_run_perturb_model_homogeneous_evolve(tmp_path):
+    """--homogeneous (perturb_main.py:477-481) + --show_evolve GIF dumps
+    (perturb_model.py:604-614) + the reference output taxonomy
+    (perturb_main.py:77-119)."""
+    from understanding_flow_robustness_tpu.cli import run_perturb_model
+
+    run_perturb_model.main([
+        "--flownet", "FlowNetS", "--pretrained_path", "/nonexistent",
+        "--perturb_method", "ifgsm", "--n_step", "2",
+        "--n_height", "64", "--n_width", "128", "--synthetic", "1",
+        "--homogeneous", "--show_evolve",
+        "--output_path", str(tmp_path),
+    ])
+    out = (tmp_path / "kitti2015" / "FlowNetS" / "both" / "homogeneous"
+           / "ifgsm_l2" / "0.02")
+    assert (out / "evolve" / "viz0_0.gif").exists()
+    assert (out / "evolve" / "viz0_1.gif").exists()
+
+
+def test_run_perturb_model_arbitrary_noise_index(tmp_path):
+    """--arbitrary_noise_index: one sample's noise re-applied everywhere
+    (perturb_main.py:385-448)."""
+    from understanding_flow_robustness_tpu.cli import run_perturb_model
+
+    run_perturb_model.main([
+        "--flownet", "FlowNetS", "--pretrained_path", "/nonexistent",
+        "--perturb_method", "ifgsm", "--n_step", "2",
+        "--n_height", "64", "--n_width", "128", "--synthetic", "2",
+        "--arbitrary_noise_index", "1",
+        "--output_path", str(tmp_path),
+    ])
+    out = (tmp_path / "kitti2015" / "FlowNetS" / "both" / "arbitraryNoise"
+           / "1" / "ifgsm_l2" / "0.02")
+    assert any(p.name.startswith("results") for p in out.iterdir())
+
+
+def test_run_perturb_model_uniform_noise_universal(tmp_path):
+    """--universal_evaluation --uniform_noise baseline
+    (perturb_main.py:451-457) lands under the /universal/.../uniform
+    taxonomy segment (perturb_main.py:85-115)."""
+    from understanding_flow_robustness_tpu.cli import run_perturb_model
+
+    run_perturb_model.main([
+        "--flownet", "FlowNetS", "--pretrained_path", "/nonexistent",
+        "--universal_evaluation", "--uniform_noise",
+        "--output_norm", "0.05",
+        "--n_height", "64", "--n_width", "128", "--synthetic", "1",
+        "--output_path", str(tmp_path),
+    ])
+    out = (tmp_path / "kitti2015" / "FlowNetS" / "universal" / "both"
+           / "fgsm_l2" / "0.05" / "uniform")
+    assert out.is_dir()
+
+
+def test_run_perturb_model_dead_branches():
+    """--disparity and --flow_loss corr raise like the reference
+    (perturb_main.py:195-200 stereo_model=None; perturb_model.py:129-142)."""
+    from understanding_flow_robustness_tpu.cli import run_perturb_model
+
+    with pytest.raises(NotImplementedError):
+        run_perturb_model.main(["--disparity", "--synthetic", "1"])
+    with pytest.raises(NotImplementedError):
+        run_perturb_model.main(["--flow_loss", "corr", "--synthetic", "1"])
+
+
+def test_universal_cli_reference_flags(tmp_path):
+    """The reference flag surface (universal_perturbation.py:31-158) and
+    output taxonomy (:196-208): n_height/n_width, DEBUG truncation, seed
+    folder naming, per-epoch .npy snapshots."""
+    from understanding_flow_robustness_tpu.cli import universal_perturbation
+
+    universal_perturbation.main([
+        "--flownet", "FlowNetS", "--pretrained_path", "/nonexistent",
+        "--n_height", "64", "--n_width", "128",
+        "--epochs", "1", "--epoch_size", "1", "--n_step", "1",
+        "--synthetic", "1", "--seed", "3", "--DEBUG",
+        "--output_path", str(tmp_path),
+    ])
+    out = (tmp_path / "DEBUG" / "kitti2015" / "FlowNetS" / "universal"
+           / "both" / "ifgsm_cossim" / "0.02" / "0.002_1_3")
+    assert (out / "perturbations" / "epoch_0.npy").exists()
+    assert (out / "args.json").exists()

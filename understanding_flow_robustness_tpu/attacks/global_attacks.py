@@ -227,12 +227,11 @@ def fgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig):
     )
 
 
-def ifgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig,
-          rng: Array | None = None):
-    """n-step iterative FGSM/FGM as a lax.fori_loop
-    (perturb_model.py:475-619): per step, optionally diversify the input,
-    ascend, clamp the image to [0, 1], clamp the accumulated noise to the
-    eps-ball, re-apply."""
+def _ifgsm_body_fn(predict, image0, image1, ground_truth,
+                   cfg: PerturbConfig, rng: Array | None):
+    """Shared one-step body of ifgsm/ifgm, used by both the production
+    fori_loop and the trajectory scan (identical math, so the
+    trajectory-collecting variant stays parity-locked for free)."""
     m0, m1 = _mode_mask(cfg.perturb_mode)
     grad_fn = _make_grad_fn(predict, cfg, rng)
     eps = cfg.output_norm
@@ -249,14 +248,23 @@ def ifgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig,
         n1 = jnp.clip(out1 - image1, -eps, eps)
         return image0 + n0, image1 + n1
 
+    return body
+
+
+def ifgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig,
+          rng: Array | None = None):
+    """n-step iterative FGSM/FGM as a lax.fori_loop
+    (perturb_model.py:475-619): per step, optionally diversify the input,
+    ascend, clamp the image to [0, 1], clamp the accumulated noise to the
+    eps-ball, re-apply."""
+    body = _ifgsm_body_fn(predict, image0, image1, ground_truth, cfg, rng)
     out0, out1 = lax.fori_loop(0, cfg.n_step, body, (image0, image1))
     return out0 - image0, out1 - image1
 
 
-def mifgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig,
-           rng: Array | None = None):
-    """Momentum I-FGSM (perturb_model.py:621-757): L1-normalized gradients
-    accumulated with momentum mu (default 0.47), sign steps."""
+def _mifgsm_body_fn(predict, image0, image1, ground_truth,
+                    cfg: PerturbConfig, rng: Array | None):
+    """Shared one-step body of mifgsm (see _ifgsm_body_fn)."""
     m0, m1 = _mode_mask(cfg.perturb_mode)
     grad_fn = _make_grad_fn(predict, cfg, rng)
     eps = cfg.output_norm
@@ -273,9 +281,61 @@ def mifgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig,
         n1 = jnp.clip(out1 - image1, -eps, eps)
         return image0 + n0, image1 + n1, acc0, acc1
 
+    return body
+
+
+def mifgsm(predict, image0, image1, ground_truth, cfg: PerturbConfig,
+           rng: Array | None = None):
+    """Momentum I-FGSM (perturb_model.py:621-757): L1-normalized gradients
+    accumulated with momentum mu (default 0.47), sign steps."""
+    body = _mifgsm_body_fn(predict, image0, image1, ground_truth, cfg, rng)
     init = (image0, image1, jnp.zeros_like(image0), jnp.zeros_like(image1))
     out0, out1, _, _ = lax.fori_loop(0, cfg.n_step, body, init)
     return out0 - image0, out1 - image1
+
+
+def perturb_trajectory(
+    predict: PredictFn,
+    image0: Array,
+    image1: Array,
+    ground_truth: Array,
+    cfg: PerturbConfig,
+    rng: Array | None = None,
+):
+    """Like :func:`perturb` but also returns the per-step noise trajectory
+    ``(n_step, B, H, W, C)`` for each frame — the data behind the
+    reference's ``--show_evolve`` perturbation-evolution GIFs
+    (perturb_model.py:497,582,604-614).  Iterative methods run the SAME
+    step body as the production fori_loop, lifted into a ``lax.scan`` whose
+    per-step output is the accumulated noise; one-step/noise methods return
+    a length-1 trajectory."""
+    method = cfg.perturb_method
+    if method in ("ifgsm", "ifgm", "mifgsm", "mifgm"):
+        if method in ("ifgsm", "ifgm"):
+            body = _ifgsm_body_fn(predict, image0, image1, ground_truth,
+                                  cfg, rng)
+            init = (image0, image1)
+        else:
+            body = _mifgsm_body_fn(predict, image0, image1, ground_truth,
+                                   cfg, rng)
+            init = (image0, image1, jnp.zeros_like(image0),
+                    jnp.zeros_like(image1))
+
+        def scan_body(carry, i):
+            new = body(i, carry)
+            return new, (new[0] - image0, new[1] - image1)
+
+        final, (tr0, tr1) = lax.scan(scan_body, init,
+                                     jnp.arange(cfg.n_step))
+        out0, out1 = final[0], final[1]
+        noise0, noise1 = out0 - image0, out1 - image1
+    else:
+        noise0, noise1, _, _ = perturb(
+            predict, image0, image1, ground_truth, cfg, rng)
+        tr0, tr1 = noise0[None], noise1[None]
+    adv0 = jnp.clip(image0 + noise0, 0.0, 1.0)
+    adv1 = jnp.clip(image1 + noise1, 0.0, 1.0)
+    return (adv0 - image0, adv1 - image1, adv0, adv1), (tr0, tr1)
 
 
 def gaussian_noise(image0, image1, cfg: PerturbConfig, rng: Array):

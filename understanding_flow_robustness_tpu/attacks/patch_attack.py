@@ -123,11 +123,15 @@ def train_patch_epoch(
     patch_type: str = "circle",
     norotate: bool = False,
     epoch_size: int = 0,
+    on_batch=None,
 ):
     """One optimization epoch over (tgt, ref_future) batches
     (patch_attacks/main.py:345-520): place -> attack -> extract -> re-zoom.
 
     ``batches`` yields (tgt_img, ref_future_img) NHWC float [0,1] arrays.
+    ``on_batch(i, tgt, adv_tgt, patch_canvas, loss)`` mirrors the
+    reference's per-iteration TensorBoard dumps gated by
+    --training_output_freq (main.py:463-519).
     """
     patch_shape_orig = patch_shape
     for i, (tgt, ref_future) in enumerate(batches):
@@ -156,6 +160,9 @@ def train_patch_epoch(
             jnp.asarray(target, jnp.float32),
         )
 
+        if on_batch is not None:
+            on_batch(i, np.asarray(tgt), np.asarray(adv_tgt),
+                     np.asarray(pc_new), float(loss))
         masked = np.asarray(pc_new) * np.asarray(mc)
         patch = extract_patch(masked, rx, ry, patch_shape)
         mask_x = extract_patch(np.asarray(mc), rx, ry, patch_shape)

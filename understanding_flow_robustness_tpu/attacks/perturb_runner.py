@@ -23,10 +23,38 @@ import numpy as np
 from ..flowviz import flow_to_image
 from . import log_utils
 from .corruptions import corrupt_pair, get_corruption_names
-from .global_attacks import PerturbConfig, make_jitted_attack
+from .global_attacks import (
+    PerturbConfig,
+    make_jitted_attack,
+    perturb_trajectory,
+)
 from .losses import compute_epe
 
 Array = jax.Array
+
+
+def _write_evolution_gifs(path: str, tr0: np.ndarray, tr1: np.ndarray):
+    """Perturbation-evolution GIFs (perturb_model.py:582-614): each step's
+    noise is min-max normalized to uint8; files are named viz{ctr}_0.gif /
+    viz{ctr}_1.gif with the first unused ctr, total duration ~20 ms."""
+    from PIL import Image
+
+    os.makedirs(path, exist_ok=True)
+    ctr = 0
+    while os.path.isfile(os.path.join(path, f"viz{ctr}_0.gif")):
+        ctr += 1
+    for suffix, tr in (("0", tr0), ("1", tr1)):
+        frames = []
+        for step in range(tr.shape[0]):
+            n = tr[step, 0]
+            lo, hi = n.min(), n.max()
+            frames.append(Image.fromarray(
+                np.uint8((n - lo) / (hi - lo + 1e-12) * 255.0)))
+        frames[0].save(
+            os.path.join(path, f"viz{ctr}_{suffix}.gif"), save_all=True,
+            append_images=frames[1:],
+            duration=max(int(20 / max(tr.shape[0], 1)), 1), loop=0,
+        )
 
 
 @dataclasses.dataclass
@@ -44,6 +72,17 @@ class RunConfig:
     # fixed noise pair re-applied to every sample (the reference's
     # arbitrary_noise_index branch, perturb_main.py:385-448): (2, H, W, 3)
     arbitrary_noise: Optional[np.ndarray] = None
+    # --homogeneous (perturb_main.py:477-481): second frame := first frame,
+    # full-res GT := zeros (the downsampled attack target is left alone,
+    # exactly like the reference's unpack order).
+    homogeneous: bool = False
+    # --uniform_noise universal baseline (perturb_main.py:451-457): one
+    # uniform noise pair in [-output_norm, output_norm] drawn once and
+    # applied to every sample.
+    uniform_noise: bool = False
+    # --show_evolve (perturb_model.py:497,582,604-614): directory for
+    # per-attack perturbation-evolution GIFs (iterative methods only).
+    show_evolve_path: Optional[str] = None
 
 
 def build_arbitrary_gt(kind: str, helper_gt: np.ndarray,
@@ -141,11 +180,34 @@ def run(
     else:
         predict_jit = jax.jit(predict)
         if whitebox:
-            attack = make_jitted_attack(predict, cfg.perturb)
+            if cfg.show_evolve_path:
+                attack_traj = jax.jit(
+                    lambda i0, i1, t, k: perturb_trajectory(
+                        predict, i0, i1, t, cfg.perturb, k))
+
+                def attack(i0, i1, t, k):
+                    outs, (tr0, tr1) = attack_traj(i0, i1, t, k)
+                    _write_evolution_gifs(
+                        cfg.show_evolve_path,
+                        np.asarray(tr0), np.asarray(tr1))
+                    return outs
+            else:
+                attack = make_jitted_attack(predict, cfg.perturb)
 
     universal = None
     if cfg.universal_perturbation_path:
         universal = np.load(cfg.universal_perturbation_path)
+    uniform_universal = None
+    if cfg.uniform_noise:
+        # drawn ONCE before the sample loop (perturb_main.py:451-457;
+        # upstream hardcodes its default 256x640 geometry — we draw at the
+        # configured size so non-default geometries work, see PARITY.md)
+        eps = float(cfg.perturb.output_norm)
+        rng = np.random.RandomState(cfg.seed if cfg.seed > 0 else 0)
+        uniform_universal = (
+            rng.rand(2, 1, cfg.n_height, cfg.n_width, 3).astype(np.float32)
+            * 2 * eps - eps
+        )
 
     rng_key = jax.random.PRNGKey(seed)
     noises0, noises1, origins, outputs, gts = [], [], [], [], []
@@ -154,6 +216,12 @@ def run(
     for i, (img0, img1, gt_small, gt_full) in enumerate(samples):
         img0 = jnp.asarray(img0, jnp.float32)
         img1 = jnp.asarray(img1, jnp.float32)
+        if cfg.homogeneous:
+            # perturb_main.py:477-481: identical frames, zeroed full-res GT
+            # (attack target gt_small is computed before this upstream and
+            # is intentionally NOT zeroed)
+            img1 = img0
+            gt_full = np.zeros_like(np.asarray(gt_full))
         flow_origin = predict_jit(img0, img1)
 
         if cfg.arbitrary_gt is not None:
@@ -170,11 +238,15 @@ def run(
             adv0 = jnp.clip(img0 + n0, 0.0, 1.0)
             adv1 = jnp.clip(img1 + n1, 0.0, 1.0)
             noise0, noise1 = adv0 - img0, adv1 - img1
-        elif universal is not None:
-            # re-apply a pre-trained universal perturbation
-            # (perturb_main.py:450-464)
-            n0 = jnp.asarray(universal[:, 0])
-            n1 = jnp.asarray(universal[:, 1])
+        elif universal is not None or uniform_universal is not None:
+            # re-apply a pre-trained universal perturbation — or the
+            # uniform-noise baseline pair (perturb_main.py:450-464)
+            if uniform_universal is not None:
+                n0 = jnp.asarray(uniform_universal[0])
+                n1 = jnp.asarray(uniform_universal[1])
+            else:
+                n0 = jnp.asarray(universal[:, 0])
+                n1 = jnp.asarray(universal[:, 1])
             adv0 = jnp.clip(img0 + n0, 0.0, 1.0)
             adv1 = jnp.clip(img1 + n1, 0.0, 1.0)
             noise0, noise1 = adv0 - img0, adv1 - img1

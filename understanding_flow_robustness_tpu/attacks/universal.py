@@ -89,15 +89,23 @@ def train_universal_perturbation(
     save_dir: str | None = None,
     rng: np.random.RandomState | None = None,
     on_epoch_end: Callable | None = None,
+    on_batch_end: Callable | None = None,
+    logger=None,
 ):
     """Epoch loop (universal_perturbation.py:354-449): the perturbation pair
     persists across batches; per-epoch snapshots go to
-    ``save_dir/perturbations/epoch_N.npy``."""
+    ``save_dir/perturbations/epoch_N.npy``.  ``on_batch_end(tgt, ref,
+    noise0, noise1)`` mirrors the reference's per-iteration TensorBoard
+    dumps (:399-442); ``logger`` is an optional TermLogger whose train bar
+    is advanced per batch (:445-446)."""
     rng = rng or np.random.RandomState(0)
     noise0 = jnp.zeros(image_shape, jnp.float32)
     noise1 = jnp.zeros(image_shape, jnp.float32)
 
     for epoch in range(epochs):
+        if logger is not None:
+            logger.epoch_bar.update(epoch)
+            logger.reset_train_bar()
         for i, (tgt, ref_future) in enumerate(batches()):
             tgt = jnp.asarray(tgt, jnp.float32)
             ref_future = jnp.asarray(ref_future, jnp.float32)
@@ -111,6 +119,10 @@ def train_universal_perturbation(
             _, _, noise0, noise1 = attack_step(
                 tgt, ref_future, noise0, noise1, jnp.asarray(target)
             )
+            if on_batch_end is not None:
+                on_batch_end(tgt, ref_future, noise0, noise1)
+            if logger is not None:
+                logger.train_bar.update(i + 1)
             if epoch_size and i >= epoch_size - 1:
                 break
         if save_dir is not None:

@@ -70,6 +70,16 @@ def build_parser():
     p.add_argument("--log-full", default="progress_log_full.csv",
                    help="accepted for reference parity; unused upstream "
                         "too (main.py:142-147)")
+    p.add_argument("-b", "--batch-size", type=int, default=4,
+                   help="accepted for parity; the reference's loaders "
+                        "hardcode batch_size=1 (main.py:240-262) and so "
+                        "does this CLI")
+    p.add_argument("-e", "--evaluate", action="store_true",
+                   help="accepted for parity; args.evaluate is declared "
+                        "but never read upstream (main.py:103-109)")
+    p.add_argument("-f", "--training-output-freq", type=int, default=100,
+                   help="TensorBoard train-image frequency "
+                        "(main.py:463-519); 0 disables")
     p.add_argument("--print-freq", type=int, default=10,
                    help="accepted for reference parity; unused upstream")
     p.add_argument("--momentum", type=float, default=0.9,
@@ -194,10 +204,25 @@ def main(argv=None):
     for epoch in range(args.epochs):
         if term is not None:
             term.epoch_bar.update(epoch)
+        def on_batch(i, tgt, adv_tgt, patch_canvas, loss):
+            # TB train images every training_output_freq iters
+            # (main.py:463-519)
+            if (args.training_output_freq <= 0 or writer is None
+                    or i % args.training_output_freq):
+                return
+            step = epoch * (args.epoch_size or 1) + i
+            writer.add_scalar("train/attack_loss", loss, step)
+            writer.add_image("train tgt image",
+                             tgt[0].transpose(2, 0, 1), step)
+            writer.add_image("train adv tgt image",
+                             np.clip(adv_tgt[0], 0, 1).transpose(2, 0, 1),
+                             step)
+
         patch, mask, patch_init, patch_shape = train_patch_epoch(
             attack_step, predict_jit, patch, mask, patch_init, patch_shape,
             train_batches(), patch_type=args.patch_type,
             norotate=args.norotate, epoch_size=args.epoch_size,
+            on_batch=on_batch,
         )
         metrics = validate_patch(
             predict_jit, patch, mask, patch_shape, val_samples(),

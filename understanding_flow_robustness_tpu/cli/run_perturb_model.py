@@ -4,6 +4,9 @@ Three branches like the reference (:200-281): universal-perturbation
 evaluation, white-box/noise attacks, and corruption sweeps over severities
 1-5.  Supports synthetic data (--synthetic N) for data-free smoke runs.
 
+Output-path taxonomy matches perturb_main.py:77-119:
+``output_path[/DEBUG]/dataset/flownet[/targeted][/universal]/mode/...``.
+
 Example:
   python -m understanding_flow_robustness_tpu.cli.run_perturb_model \\
       --flownet FlowNetC --perturb_method ifgsm --flow_loss l2 \\
@@ -53,13 +56,51 @@ def build_parser() -> argparse.ArgumentParser:
                         "diversification (perturb_model.py:759-821)")
     p.add_argument("--flownet", type=str, default="FlowNetC")
     p.add_argument("--pretrained_path", type=str, default="pretrained_models")
-    p.add_argument("--flow_loss", type=str, default="cossim",
-                   choices=["cossim", "l2", "l1"])
+    # "corr" is accepted for CLI parity but unimplemented in the reference
+    # too: its compute_flow_loss has no corr branch and raises
+    # NotImplementedError (perturb_model.py:129-142)
+    p.add_argument("--flow_loss", type=str, default="l2",
+                   choices=["cossim", "l2", "l1", "corr"])
     p.add_argument("--targeted", action="store_true")
+    p.add_argument("--homogeneous", action="store_true",
+                   help="second frame := first frame, zeroed full-res GT "
+                        "(perturb_main.py:477-481)")
+    p.add_argument("--show_evolve", action="store_true",
+                   help="write perturbation-evolution GIFs under "
+                        "<output>/evolve (perturb_model.py:604-614)")
     p.add_argument("--arbitrary_gt_index", type=str, default=None,
                    help="dataset index digit, 'fun', or 'uniform_N'")
+    p.add_argument("--arbitrary_noise_index", type=int, default=None,
+                   help="attack sample N once, re-apply its noise to every "
+                        "sample (perturb_main.py:385-448)")
     p.add_argument("--universal_evaluation", action="store_true")
-    p.add_argument("--perturbations_file", type=str, default=None)
+    p.add_argument("--perturbations_file", type=str, default=None,
+                   help="explicit universal-perturbation file; default is "
+                        "<output>/<folder_name>/perturbations/"
+                        "epoch_<epoch_number> like perturb_main.py:458-464")
+    p.add_argument("--folder_name", type=str, default="",
+                   help="training-run folder under the universal taxonomy "
+                        "(run_perturb_model.py:153-156)")
+    p.add_argument("--epoch_number", type=int, default=-1,
+                   help="universal-perturbation epoch snapshot to evaluate")
+    p.add_argument("--uniform_noise", action="store_true",
+                   help="universal evaluation with a uniform-noise baseline "
+                        "pair (perturb_main.py:451-457)")
+    # the reference declares a disparity/stereo branch but its stereo model
+    # is commented out upstream (perturb_main.py:195-200: stereo_model =
+    # None), so --disparity crashes there; we accept the flags and raise
+    # the same way its universal trainer does (universal_perturbation.py:292)
+    p.add_argument("--disparity", action="store_true",
+                   help="unimplemented upstream (stereo model commented "
+                        "out, perturb_main.py:195-200)")
+    p.add_argument("--disparity_method", type=str, default="psmnet")
+    p.add_argument("--disparity_model_restore_path", type=str, default="")
+    p.add_argument("--device", type=str, default="gpu",
+                   help="gpu/cuda = default JAX device (TPU); cpu forces "
+                        "the CPU backend (run_perturb_model.py:99-101)")
+    p.add_argument("--DEBUG", action="store_true",
+                   help="route outputs under <output>/DEBUG "
+                        "(perturb_main.py:77-78)")
     p.add_argument("--output_path", type=str, default="output/global_attacks")
     p.add_argument("--write_out", action="store_true")
     p.add_argument("--write_out_npy", action="store_true")
@@ -91,10 +132,53 @@ def _samples(args):
         yield img0[None], img1[None], gt_small[None], gt_full[None]
 
 
+def _output_path(args) -> str:
+    """The reference's exact output taxonomy (perturb_main.py:77-119)."""
+    parts = [args.output_path]
+    if args.DEBUG:
+        parts.append("DEBUG")
+    parts += [args.dataset, args.flownet]
+    if args.targeted:
+        parts.append("targeted")
+    if args.universal_evaluation:
+        parts.append("universal")
+    parts.append(args.perturb_mode)
+    method = args.perturb_method
+    if method in get_corruption_names("all"):
+        if args.homogeneous:
+            parts.append("homogeneous")
+        parts += [method]  # severity appended by the sweep caller
+    else:
+        if args.homogeneous:
+            parts.append("homogeneous")
+        if args.arbitrary_gt_index is not None:
+            parts += ["arbitraryGT", str(args.arbitrary_gt_index)]
+        if args.arbitrary_noise_index is not None:
+            parts += ["arbitraryNoise", str(args.arbitrary_noise_index)]
+        parts += [f"{method}_{args.flow_loss}", str(args.output_norm)]
+    if args.universal_evaluation:
+        parts.append("uniform" if args.uniform_noise else args.folder_name)
+    return os.path.join(*[str(x) for x in parts if str(x)])
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     args.perturb_method = args.perturb_method.lower()
     args.perturb_mode = args.perturb_mode.lower()
+    args.device = args.device.lower()
+
+    if args.disparity:
+        raise NotImplementedError(
+            "disparity estimation is unimplemented in the reference too "
+            "(perturb_main.py:195-200 leaves stereo_model = None)")
+    if args.flow_loss == "corr":
+        raise NotImplementedError(
+            "flow_loss='corr' is accepted but unimplemented upstream "
+            "(perturb_model.py:129-142 has no corr branch)")
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ..models import fetch_model
     from ..utils import enable_compilation_cache
@@ -105,7 +189,9 @@ def main(argv=None):
     ))
     predict = lambda a, b: model.predict(a, b)
 
-    def make_cfg(method, norm, out_sub):
+    base_out = _output_path(args)
+
+    def make_cfg(method, norm, out_path):
         return RunConfig(
             flownet=args.flownet,
             perturb=PerturbConfig(
@@ -121,14 +207,13 @@ def main(argv=None):
             ),
             n_height=args.n_height,
             n_width=args.n_width,
-            output_path=os.path.join(
-                args.output_path, args.dataset, args.flownet, out_sub
-            ),
+            output_path=out_path,
             seed=max(args.seed, 0),
             write_out_frequency=10 if args.write_out else 0,
             save_npy=args.write_out_npy,
-            universal_perturbation_path=(
-                args.perturbations_file if args.universal_evaluation else None
+            homogeneous=args.homogeneous,
+            show_evolve_path=(
+                os.path.join(out_path, "evolve") if args.show_evolve else None
             ),
         )
 
@@ -145,20 +230,58 @@ def main(argv=None):
         else:
             arbitrary_gt = build_arbitrary_gt(args.arbitrary_gt_index, helper)
 
-    if args.perturb_method in get_corruption_names("all"):
+    if args.universal_evaluation:
+        cfg = make_cfg(args.perturb_method, args.output_norm, base_out)
+        if args.uniform_noise:
+            cfg.uniform_noise = True
+        else:
+            path = args.perturbations_file or os.path.join(
+                base_out, "perturbations", f"epoch_{args.epoch_number}")
+            # the trainer saves .npy snapshots; the reference's torch.save
+            # path has no suffix — accept either
+            if not os.path.isfile(path) and os.path.isfile(path + ".npy"):
+                path += ".npy"
+            cfg.universal_perturbation_path = path
+        res = run(predict, _samples(args), cfg)
+        print(f"universal eval: epe {res['flow_epe_origin'][0]:.3f} -> "
+              f"{res['flow_epe'][0]:.3f}; results under {cfg.output_path}")
+    elif args.perturb_method in get_corruption_names("all"):
         # severity sweep 1-5 (run_perturb_model.py:246-281)
         for severity in range(1, 6):
             cfg = make_cfg(args.perturb_method, severity,
-                           f"{args.perturb_method}_sev{severity}")
+                           os.path.join(base_out, str(severity)))
             cfg.arbitrary_gt = arbitrary_gt
             res = run(predict, _samples(args), cfg)
             print(f"severity {severity}: epe "
                   f"{res['flow_epe_origin'][0]:.3f} -> {res['flow_epe'][0]:.3f}")
     else:
-        sub = (f"{args.perturb_method}_{args.perturb_mode}"
-               f"_norm{args.output_norm}_{args.flow_loss}")
-        cfg = make_cfg(args.perturb_method, args.output_norm, sub)
+        cfg = make_cfg(args.perturb_method, args.output_norm, base_out)
         cfg.arbitrary_gt = arbitrary_gt
+        if args.arbitrary_noise_index is not None:
+            # attack sample N once; its noise is re-applied to every sample
+            # (perturb_main.py:385-448)
+            import jax
+            import jax.numpy as jnp
+
+            from ..attacks.global_attacks import make_jitted_attack
+
+            sample = None
+            for i, s in enumerate(_samples(args)):
+                if i == args.arbitrary_noise_index:
+                    sample = s
+                    break
+            if sample is None:
+                raise IndexError(
+                    f"arbitrary_noise_index {args.arbitrary_noise_index} "
+                    "out of range")
+            img0, img1, gt_small, _ = sample
+            attack = make_jitted_attack(predict, cfg.perturb)
+            n0, n1, _, _ = attack(
+                jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(gt_small),
+                jax.random.PRNGKey(max(args.seed, 0)),
+            )
+            cfg.arbitrary_noise = np.stack(
+                [np.asarray(n0[0]), np.asarray(n1[0])])
         res = run(predict, _samples(args), cfg)
         print(f"epe {res['flow_epe_origin'][0]:.3f} -> "
               f"{res['flow_epe'][0]:.3f}; results under {cfg.output_path}")
