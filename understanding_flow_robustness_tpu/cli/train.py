@@ -2,9 +2,16 @@
 (reference: training/train.py:355-636).
 
 Stages: chairs/things/sintel/kitti with the reference aug params; RAFT or
-FlowNetC-family/PWC architectures; --adversarial enables the per-batch
-I-FGSM adversarial-training branch (train.py:171-221).  --synthetic N runs
-on random data for smoke testing.
+FlowNetC-family/PWC architectures; --adversarial (alias --adv_train)
+enables the per-batch I-FGSM adversarial-training branch
+(train.py:171-221).  --synthetic N runs on random data for smoke testing.
+
+Model-architecture flags: the reference composes architectures from ~40
+boolean flags (--flowNetC, --raft_small, --kernel_size, --numReps, ...);
+here the composed variants are registry IDs passed via --model
+(models.get_flownet_choices: FlowNetS, FlowNetC, FlowNet2,
+FlowNetCFlexLarger_k3_reps3, FlowNetCFlexLarger_k5_reps0, SpyNet, PWCNet,
+RAFT, RAFT_FlowNetCEncoder_WoContext, and the *_adv_* variants).
 
 Example:
   python -m understanding_flow_robustness_tpu.cli.train --model RAFT \\
@@ -39,15 +46,58 @@ def build_parser():
     p.add_argument("--clip", type=float, default=1.0)
     p.add_argument("--gamma", type=float, default=0.8)
     p.add_argument("--iters", type=int, default=12)
-    p.add_argument("--val_freq", type=int, default=5000)
-    p.add_argument("--checkpoint_dir", default="checkpoints")
+    p.add_argument("--val_freq", type=int, default=None,
+                   help="default derives like train.py:143-148: 1000 "
+                        "adversarial / 100 finetune / 5000 otherwise")
+    p.add_argument("--validation", type=str, nargs="+", default=None,
+                   choices=["chairs", "sintel", "kitti"],
+                   help="validation sets run at every val_freq "
+                        "(train.py:302-313); requires the datasets on disk")
+    p.add_argument("--checkpoint_dir", "--ckpt_dir", dest="checkpoint_dir",
+                   default="checkpoints")
     p.add_argument("--trans_rot", action="store_true")
-    p.add_argument("--adversarial", action="store_true")
-    p.add_argument("--adv_method", default="ifgsm")
-    p.add_argument("--adv_norm", type=float, default=0.02)
-    p.add_argument("--adv_loss", default="l2")
-    p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="bf16-compute mixed precision (the TPU analog of "
+                        "the reference's GradScaler AMP, train.py:139); "
+                        "RAFT/PWC registry entries default to it already — "
+                        "this forces it on for a model that doesn't")
+    p.add_argument("--multiscaleEPE", action="store_true",
+                   help="use the multiscale EPE loss instead of the "
+                        "default sequence loss (train.py:245-264)")
+    p.add_argument("--no_excluding", action="store_true",
+                   help="accepted for parity; a dead no-op upstream too "
+                        "(training/utils.py:88-91 re-thresholds the "
+                        "already-boolean mask)")
+    p.add_argument("--add_noise", action="store_true",
+                   help="per-batch gaussian image noise, stdv ~ U(0,5) on "
+                        "the 0-255 scale (train.py:162-169)")
+    p.add_argument("--finetune", action="store_true",
+                   help="finetune mode: val_freq 100 (train.py:145-148)")
+    p.add_argument("--adversarial", "--adv_train", dest="adversarial",
+                   action="store_true")
+    p.add_argument("--adv_method", "--perturb_method", dest="adv_method",
+                   default="ifgsm")
+    p.add_argument("--perturb_mode", default="both",
+                   choices=["both", "left", "right"])
+    p.add_argument("--adv_norm", "--output_norm", dest="adv_norm",
+                   type=float, default=0.02)
+    p.add_argument("--adv_loss", "--flow_loss", dest="adv_loss",
+                   default="l2")
+    p.add_argument("--perturb_n_step", type=int, default=40)
+    p.add_argument("--perturb_learning_rate", type=float, default=2e-3)
+    p.add_argument("--perturb_momentum", type=float, default=0.47)
+    p.add_argument("--probability_diverse_input", type=float, default=0.0)
+    p.add_argument("--arbitrary_gt", action="store_true",
+                   help="targeted adversarial training toward a random "
+                        "train sample's GT (train.py:151,188-199)")
+    p.add_argument("--n_devices", "--gpus", dest="n_devices", type=int,
+                   default=None,
+                   help="devices in the data-parallel mesh (the reference's "
+                        "--gpus list becomes a device count here)")
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--DEBUG", action="store_true",
+                   help="iters=3, no checkpoint/logger writes "
+                        "(train.py:140-141,235,286-289)")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--data_roots", type=str, default=None,
                    help="JSON dict of dataset roots")
@@ -64,7 +114,9 @@ def main(argv=None):
     enable_compilation_cache()
     kwargs = {}
     if args.model.startswith("RAFT"):
-        kwargs["iters"] = args.iters
+        kwargs["iters"] = 3 if args.DEBUG else args.iters  # train.py:235
+    if args.mixed_precision:
+        kwargs["mixed_precision"] = True
     model = fetch_model(args.model, pretrained_path=None, **kwargs)
     n_params = sum(int(np.prod(p.shape)) for p in
                    jax.tree_util.tree_leaves(model.variables["params"]))
@@ -76,6 +128,11 @@ def main(argv=None):
             args.restore_ckpt, model.variables["params"]
         )
 
+    if args.val_freq is None:
+        # train.py:143-148
+        args.val_freq = (1000 if args.adversarial
+                         else 100 if args.finetune else 5000)
+
     is_flownetc_style = not model.is_raft
     cfg = TrainConfig(
         name=args.name, stage=args.stage,
@@ -84,7 +141,10 @@ def main(argv=None):
         clip=args.clip, gamma=args.gamma, num_steps=args.num_steps,
         val_freq=args.val_freq,
         checkpoint_dir=os.path.join(args.checkpoint_dir, args.name),
-        loss_type="sequence",
+        # train.py:245-264: sequence loss by default for EVERY model
+        # (its flownetc/pwc flags handle the per-scale path); multiscale
+        # only with --multiscaleEPE
+        loss_type="multiscale" if args.multiscaleEPE else "sequence",
         flownetc=is_flownetc_style, pwc="PWC" in args.model,
         # train.py:130-137: BN frozen for non-chairs stages, but only for
         # RAFT-style models (flexible/FlowNetC/PWC are excluded there).
@@ -92,9 +152,17 @@ def main(argv=None):
         adversarial=args.adversarial,
         adv_config=PerturbConfig(
             perturb_method=args.adv_method, flow_loss=args.adv_loss,
-            output_norm=args.adv_norm,
+            output_norm=args.adv_norm, perturb_mode=args.perturb_mode,
+            n_step=args.perturb_n_step,
+            learning_rate=args.perturb_learning_rate,
+            momentum=args.perturb_momentum,
+            probability_diverse_input=args.probability_diverse_input,
+            targeted=args.arbitrary_gt,  # train.py:183
         ),
         n_devices=args.n_devices, seed=args.seed,
+        add_noise=args.add_noise, arbitrary_gt=args.arbitrary_gt,
+        not_excluding=args.no_excluding,
+        save_checkpoints=not args.DEBUG,
     )
 
     if args.synthetic:
@@ -112,6 +180,12 @@ def main(argv=None):
                         np.float32),
                     "valid": np.ones((args.batch_size, h, w), np.float32),
                 }
+
+        def sample_gt_fn(rng):
+            # random-sample GT for --arbitrary_gt in synthetic mode
+            flow = rng.randn(args.batch_size, h, w, 2).astype(np.float32)
+            valid = np.ones((args.batch_size, h, w), np.float32)
+            return flow, valid
     else:
         import json
 
@@ -126,12 +200,51 @@ def main(argv=None):
                                 shuffle=True, num_workers=4, seed=args.seed)
             yield from loader
 
+        def sample_gt_fn(rng):
+            # a RANDOM train sample's GT (train.py:188-199)
+            _, _, flow, valid = dataset[rng.randint(len(dataset))][:4]
+            return np.asarray(flow)[None], np.asarray(valid)[None]
+
+    validate_fn = None
+    if args.validation:
+        from ..training import evaluate as ev
+
+        def validate_fn(params, batch_stats, step):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            model.variables = variables
+            for valset in args.validation:
+                try:
+                    if valset == "kitti":
+                        from ..data.datasets import KITTI
+
+                        res = ev.validate_kitti(model, KITTI(split="training"))
+                    elif valset == "sintel":
+                        from ..data.datasets import MpiSintel
+
+                        res = ev.validate_sintel(
+                            model, lambda d: MpiSintel(dstype=d))
+                    else:
+                        from ..data.datasets import FlyingChairs
+
+                        res = ev.validate_chairs(
+                            model, FlyingChairs(split="validation"))
+                    print(f"step {step} [{valset}]: " + " ".join(
+                        f"{k}={v:.3f}" for k, v in res.items()))
+                except (FileNotFoundError, OSError) as e:
+                    print(f"step {step} [{valset}]: skipped ({e})")
+
     def logger(step, metrics):
         if step % 100 == 0 or step < 10:
             msg = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
             print(f"step {step}: {msg}")
 
-    params, stats, steps = train(cfg, model, batches, logger=logger)
+    params, stats, steps = train(
+        cfg, model, batches, validate_fn=validate_fn,
+        logger=None if args.DEBUG else logger,
+        sample_gt_fn=sample_gt_fn if args.arbitrary_gt else None,
+    )
     print(f"training done at step {steps}")
 
 

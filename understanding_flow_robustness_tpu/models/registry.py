@@ -103,14 +103,14 @@ _SPECS: dict[str, ModelSpec] = {
         "pwcnet",
     ),
     "RAFT": ModelSpec(
-        lambda **kw: RAFT(mixed_precision=True, **kw), "raft-things.pth",
-        "raft", is_raft=True, size_multiple=8,
+        lambda **kw: RAFT(**{"mixed_precision": True, **kw}),
+        "raft-things.pth", "raft", is_raft=True, size_multiple=8,
     ),
     "RAFT_FlowNetCEncoder_WoContext": ModelSpec(
-        lambda **kw: RAFT(
-            flownetc_encoder=True, no_separate_context=True,
-            mixed_precision=True, **kw,
-        ),
+        lambda **kw: RAFT(**{
+            "flownetc_encoder": True, "no_separate_context": True,
+            "mixed_precision": True, **kw,
+        }),
         "raft_flowNetCEnc_noSeparateContext.pth", "raft", is_raft=True,
         size_multiple=8,
     ),

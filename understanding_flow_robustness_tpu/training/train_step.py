@@ -40,6 +40,7 @@ def make_train_step(
     div_flow: float = 1.0,
     flownetc_weighing: bool = False,
     freeze_bn: bool = False,
+    not_excluding: bool = False,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -82,6 +83,7 @@ def make_train_step(
             preds, batch["flow"], batch["valid"],
             gamma=gamma, flownetc=flownetc, pwc=pwc, div_flow=div_flow,
             flownetc_weighing=flownetc_weighing,
+            not_excluding=not_excluding,
         )
         return loss, (metrics, new_stats)
 

@@ -61,6 +61,16 @@ class TrainConfig:
     time_limit: float = TIME_LIMIT
     n_devices: Optional[int] = None
     seed: int = 1234
+    # --add_noise (train.py:162-169): per-batch gaussian noise with
+    # stdv ~ U(0, 5) on the 0-255 scale, clamped to the image range.
+    add_noise: bool = False
+    # --arbitrary_gt (train.py:151,188-199): the adversarial attack targets
+    # a RANDOM train sample's GT (targeted=True) instead of the batch GT.
+    arbitrary_gt: bool = False
+    # --no_excluding (train.py:379; a dead no-op upstream, see losses.py)
+    not_excluding: bool = False
+    # --DEBUG skips logger/checkpoint writes (train.py:140-141,286-289)
+    save_checkpoints: bool = True
 
 
 def train(
@@ -69,6 +79,7 @@ def train(
     batches: Callable[[], "iter"],
     validate_fn: Optional[Callable] = None,
     logger=None,
+    sample_gt_fn: Optional[Callable] = None,
 ):
     """Run training; returns (params, batch_stats, total_steps).
 
@@ -76,6 +87,10 @@ def train(
     valid).  Resumes from cfg.checkpoint_dir when a checkpoint exists and
     stops early when total_steps has been reached (train.py:612-636) or
     the time limit is near (:340-345).
+
+    ``sample_gt_fn(rng) -> (flow, valid)`` supplies the random train-sample
+    GT for cfg.arbitrary_gt targeted adversarial training
+    (train.py:188-199).
     """
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     with open(os.path.join(cfg.checkpoint_dir, "args.json"), "w") as f:
@@ -117,13 +132,14 @@ def train(
             model.module, tx, loss_type=cfg.loss_type, is_raft=model.is_raft,
             flownetc=cfg.flownetc, pwc=cfg.pwc, gamma=cfg.gamma,
             div_flow=cfg.div_flow, flownetc_weighing=cfg.flownetc_weighing,
-            freeze_bn=cfg.freeze_bn,
+            freeze_bn=cfg.freeze_bn, not_excluding=cfg.not_excluding,
         ),
         mesh,
     )
 
     t_start = time.time()
     rng_key = jax.random.PRNGKey(cfg.seed)
+    np_rng = np.random.RandomState(cfg.seed)
     should_keep_training = True
 
     with mesh:
@@ -133,6 +149,18 @@ def train(
 
         while should_keep_training:
             for batch in batches():
+                if cfg.add_noise:
+                    # train.py:162-169: stdv ~ U(0, 5) gaussian on the
+                    # 0-255 scale; our batches are [0,1] so scale by /255
+                    stdv = np_rng.uniform(0.0, 5.0) / 255.0
+                    batch = dict(batch)
+                    for k in ("image1", "image2"):
+                        batch[k] = np.clip(
+                            np.asarray(batch[k])
+                            + stdv * np_rng.randn(*batch[k].shape).astype(
+                                np.float32),
+                            0.0, 1.0,
+                        )
                 if cfg.adversarial:
                     # eval-mode attack on the batch, clean+adv concat
                     # (train.py:171-221); batch_size 1 per the reference
@@ -152,10 +180,22 @@ def train(
                         return model.module.apply(variables, a, b)
 
                     rng_key, sub = jax.random.split(rng_key)
-                    gt = jnp.concatenate(
-                        [jnp.asarray(batch["flow"]),
-                         jnp.asarray(batch["valid"])[..., None]], axis=-1
-                    )
+                    if cfg.arbitrary_gt and sample_gt_fn is not None:
+                        # targeted attack toward a RANDOM train sample's GT
+                        # (train.py:188-199); the attack config's targeted
+                        # flag is set by the caller
+                        arb_flow, arb_valid = sample_gt_fn(np_rng)
+                        gt = jnp.concatenate(
+                            [jnp.asarray(arb_flow),
+                             jnp.asarray(arb_valid)[..., None]], axis=-1,
+                        )
+                        if gt.ndim == 3:
+                            gt = gt[None]
+                    else:
+                        gt = jnp.concatenate(
+                            [jnp.asarray(batch["flow"]),
+                             jnp.asarray(batch["valid"])[..., None]], axis=-1
+                        )
                     _, _, adv1, adv2 = perturb(
                         predict_now, jnp.asarray(batch["image1"]),
                         jnp.asarray(batch["image2"]), gt,
@@ -185,10 +225,11 @@ def train(
                         lambda x: float(x), metrics))
 
                 if total_steps % cfg.val_freq == cfg.val_freq - 1:
-                    ckpt.save_checkpoint(
-                        cfg.checkpoint_dir, params, opt_state, batch_stats,
-                        total_steps,
-                    )
+                    if cfg.save_checkpoints:
+                        ckpt.save_checkpoint(
+                            cfg.checkpoint_dir, params, opt_state,
+                            batch_stats, total_steps,
+                        )
                     if validate_fn is not None:
                         validate_fn(params, batch_stats, total_steps)
 
@@ -200,10 +241,11 @@ def train(
                     should_keep_training = False
                     break
 
-    ckpt.save_checkpoint(
-        cfg.checkpoint_dir, params, opt_state, batch_stats, total_steps
-    )
-    ckpt.save_weights(
-        os.path.join(cfg.checkpoint_dir, f"{cfg.name}.msgpack"), params
-    )
+    if cfg.save_checkpoints:
+        ckpt.save_checkpoint(
+            cfg.checkpoint_dir, params, opt_state, batch_stats, total_steps
+        )
+        ckpt.save_weights(
+            os.path.join(cfg.checkpoint_dir, f"{cfg.name}.msgpack"), params
+        )
     return params, batch_stats, total_steps
