@@ -172,3 +172,51 @@ def test_universal_cli_reference_flags(tmp_path):
            / "both" / "ifgsm_cossim" / "0.02" / "0.002_1_3")
     assert (out / "perturbations" / "epoch_0.npy").exists()
     assert (out / "args.json").exists()
+
+
+def test_evaluate_cli_kitti(tmp_path):
+    """Standalone eval CLI (reference training/evaluate.py:395-427):
+    restore a weights file, run validate_kitti, both sequential and
+    mesh-sharded (--n_devices, the DataParallel analog, evaluate.py:410)."""
+    import json
+
+    import cv2
+
+    from understanding_flow_robustness_tpu import flowviz
+    from understanding_flow_robustness_tpu.cli import evaluate
+    from understanding_flow_robustness_tpu.models.registry import fetch_model
+    from understanding_flow_robustness_tpu.training.checkpoint import (
+        save_weights,
+    )
+
+    rng = np.random.RandomState(0)
+    root = str(tmp_path / "KITTI" / "2015")
+    os.makedirs(os.path.join(root, "training", "image_2"))
+    os.makedirs(os.path.join(root, "training", "flow_occ"))
+    for i in range(2):
+        z = str(i).zfill(6)
+        for suffix in ["_10", "_11"]:
+            img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+            cv2.imwrite(
+                os.path.join(root, "training", "image_2", z + suffix + ".png"),
+                img,
+            )
+        flow = np.round(rng.randn(96, 128, 2) * 64) / 64
+        flowviz.write_flow_png(
+            os.path.join(root, "training", "flow_occ", z + "_10.png"),
+            flow.astype(np.float32), np.ones((96, 128), np.float32),
+        )
+
+    model = fetch_model("FlowNetS", pretrained_path=None)
+    wpath = str(tmp_path / "w.msgpack")
+    save_weights(wpath, model.variables["params"])
+    roots = json.dumps({"kitti": root})
+
+    evaluate.main([
+        "--model", wpath, "--dataset", "kitti", "--arch", "FlowNetS",
+        "--data_roots", roots,
+    ])
+    evaluate.main([
+        "--model", wpath, "--dataset", "kitti", "--arch", "FlowNetS",
+        "--data_roots", roots, "--n_devices", "2",
+    ])
