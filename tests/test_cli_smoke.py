@@ -220,3 +220,34 @@ def test_evaluate_cli_kitti(tmp_path):
         "--model", wpath, "--dataset", "kitti", "--arch", "FlowNetS",
         "--data_roots", roots, "--n_devices", "2",
     ])
+
+
+@pytest.mark.parametrize(
+    "arch_flags",
+    [
+        ["--flowNetC", "--flexible_larger_field", "--kernel_size", "3",
+         "--numReps", "0", "--div_flow", "20"],
+        ["--flowNetC", "--larger_field"],
+        ["--small", "--cnorm", "instance"],   # RAFT small variant
+    ],
+)
+def test_train_cli_reference_arch_flags(tmp_path, arch_flags):
+    """Reference get_model() architecture dispatch (training/train.py:
+    55-92): --flowNetC/--flexible_larger_field/--larger_field/--pwc and
+    the RAFT encoder knobs, driven through the train CLI on synthetic
+    data in DEBUG mode."""
+    from understanding_flow_robustness_tpu.cli import train as train_cli
+
+    train_cli.main([
+        "--name", "smoke", "--stage", "chairs",
+        "--num_steps", "1", "--batch_size", "1",
+        "--image_size", "64", "64", "--synthetic", "1", "--DEBUG",
+        "--checkpoint_dir", str(tmp_path),
+    ] + arch_flags)
+
+
+def test_train_cli_dropout_unsupported():
+    from understanding_flow_robustness_tpu.cli import train as train_cli
+
+    with pytest.raises(NotImplementedError):
+        train_cli.main(["--dropout", "0.5", "--synthetic", "1", "--DEBUG"])

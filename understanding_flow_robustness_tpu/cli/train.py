@@ -94,6 +94,56 @@ def build_parser():
                    default=None,
                    help="devices in the data-parallel mesh (the reference's "
                         "--gpus list becomes a device count here)")
+    # reference get_model() architecture flags (training/train.py:55-92);
+    # they translate to registry IDs + module kwargs.  --model keeps
+    # working and takes precedence only when no reference flag is given.
+    p.add_argument("--flowNetC", action="store_true",
+                   help="train a FlowNetC-family model (train.py:489)")
+    p.add_argument("--flexible_larger_field", action="store_true",
+                   help="FlowNetC_flexible_larger_field (train.py:503)")
+    p.add_argument("--larger_field", action="store_true",
+                   help="FlowNetC_larger_field (train.py:497; the k5/reps1 "
+                        "flex alias)")
+    p.add_argument("--kernel_size", type=int, default=5,
+                   help="flex FlowNetC kernel size (train.py:508)")
+    p.add_argument("--numReps", type=int, default=0,
+                   help="flex FlowNetC conv repetitions (train.py:511)")
+    p.add_argument("--dilation", type=int, default=1,
+                   help="flex FlowNetC dilation (train.py:528)")
+    p.add_argument("--div_flow", type=float, default=1,
+                   help="flow scaling for FlowNetC variants (train.py:446)")
+    p.add_argument("--pwc", action="store_true",
+                   help="train PWC-Net (train.py:531)")
+    p.add_argument("--pwcflex", action="store_true",
+                   help="PWCNetFlex (train.py:89) — broken in the "
+                        "reference itself (models/PWCNetFlex.py does not "
+                        "exist; models/__init__.py:8 imports it anyway), "
+                        "so this raises the equivalent error")
+    p.add_argument("--pwc_correlations", nargs="+", default=None,
+                   help="PWCNetFlex per-level correlation switches "
+                        "(train.py:534; only meaningful with --pwcflex)")
+    p.add_argument("--small", "--raft_small", dest="small",
+                   action="store_true", help="small RAFT (train.py:424)")
+    p.add_argument("--fnorm", default="instance",
+                   choices=["none", "batch", "group", "instance"],
+                   help="RAFT feature-encoder norm (train.py:401)")
+    p.add_argument("--cnorm", default="batch",
+                   choices=["none", "batch", "group", "instance"],
+                   help="RAFT context-encoder norm (train.py:407)")
+    p.add_argument("--no_separate_context", action="store_true",
+                   help="RAFT conv_redir context variant")
+    p.add_argument("--flowNetCEnc", action="store_true",
+                   help="RAFT FlowNetC encoder variant")
+    p.add_argument("--compute_spatial", action="store_true",
+                   help="RAFT spatial-correlation mode")
+    p.add_argument("--corr_levels", type=int, default=4)
+    p.add_argument("--corr_radius", type=int, default=4)
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="encoder dropout (train.py:398; reference default "
+                        "0 — nonzero is not supported here)")
+    p.add_argument("--model_kwargs", type=str, default=None,
+                   help="JSON dict of extra module kwargs (escape hatch "
+                        "for registry build overrides)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--DEBUG", action="store_true",
                    help="iters=3, no checkpoint/logger writes "
@@ -112,11 +162,59 @@ def main(argv=None):
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.dropout > 0:
+        raise NotImplementedError(
+            "--dropout > 0 is not supported (the reference default is 0; "
+            "no released checkpoint trains with it)")
+
+    # reference get_model() dispatch (training/train.py:55-92)
     kwargs = {}
+    if args.flowNetC:
+        if args.flexible_larger_field:
+            args.model = "FlowNetCFlexLarger_k3_reps3"
+            kwargs.update(kernel_size=args.kernel_size,
+                          number_of_reps=args.numReps,
+                          dilation=args.dilation, div_flow=args.div_flow)
+        elif args.larger_field:
+            args.model = "FlowNetC_larger_field"
+            kwargs.update(div_flow=args.div_flow)
+        else:
+            args.model = "FlowNetC"
+            if args.div_flow != 1:
+                kwargs.update(div_flow=args.div_flow)
+    elif args.pwcflex:
+        raise NotImplementedError(
+            "PWCNetFlex does not exist in the reference repo either "
+            "(models/PWCNetFlex.py is missing; its import at "
+            "models/__init__.py:8 makes the reference's --pwcflex branch "
+            "unrunnable) — use --pwc")
+    elif args.pwc:
+        args.model = "PWCNet"
+
     if args.model.startswith("RAFT"):
         kwargs["iters"] = 3 if args.DEBUG else args.iters  # train.py:235
+        if args.small:
+            kwargs["small"] = True
+        if args.fnorm != "instance":
+            kwargs["fnorm"] = args.fnorm
+        if args.cnorm != "batch":
+            kwargs["cnorm"] = args.cnorm
+        if args.no_separate_context:
+            kwargs["no_separate_context"] = True
+        if args.flowNetCEnc:
+            kwargs["flownetc_encoder"] = True
+        if args.compute_spatial:
+            kwargs["compute_spatial"] = True
+        if args.corr_levels != 4:
+            kwargs["corr_levels"] = args.corr_levels
+        if args.corr_radius != 4:
+            kwargs["corr_radius"] = args.corr_radius
     if args.mixed_precision:
         kwargs["mixed_precision"] = True
+    if args.model_kwargs:
+        import json as _json
+
+        kwargs.update(_json.loads(args.model_kwargs))
     model = fetch_model(args.model, pretrained_path=None, **kwargs)
     n_params = sum(int(np.prod(p.shape)) for p in
                    jax.tree_util.tree_leaves(model.variables["params"]))

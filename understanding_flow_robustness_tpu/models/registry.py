@@ -61,24 +61,27 @@ _SPECS: dict[str, ModelSpec] = {
         "flownet_s",
     ),
     "FlowNetC": ModelSpec(
-        lambda **kw: FlowNetC(div_flow=20.0, **kw),
+        lambda **kw: FlowNetC(**{"div_flow": 20.0, **kw}),
         "FlowNet2-C_checkpoint.pth.tar", "flownet_c",
     ),
     "FlowNet2": ModelSpec(
         lambda **kw: FlowNet2(**kw), "FlowNet2_checkpoint.pth.tar", "flownet2",
     ),
     "FlowNetCFlexLarger_k3_reps3": ModelSpec(
-        lambda **kw: FlowNetCFlex(kernel_size=3, number_of_reps=3, **kw),
+        lambda **kw: FlowNetCFlex(
+            **{"kernel_size": 3, "number_of_reps": 3, **kw}),
         "RobustFlowNetC.pth", "flownet_c_flex",
     ),
     "FlowNetCFlexLarger_k3_reps3_adv_ifgsm_l2_002": ModelSpec(
-        lambda **kw: FlowNetCFlex(kernel_size=3, number_of_reps=3, **kw),
+        lambda **kw: FlowNetCFlex(
+            **{"kernel_size": 3, "number_of_reps": 3, **kw}),
         "adv_kitti2012_robustFlow_ifgsm_l2_0.02.pth", "flownet_c_flex",
     ),
     "FlowNetCFlexLarger_k5_reps0": ModelSpec(
-        lambda **kw: FlowNetCFlex(
-            kernel_size=5, number_of_reps=0, flat_entry_names=True, **kw
-        ),
+        lambda **kw: FlowNetCFlex(**{
+            "kernel_size": 5, "number_of_reps": 0, "flat_entry_names": True,
+            **kw,
+        }),
         "larger_field_3x3_x0_l2.pth", "flownet_c_flex",
     ),
     # training/get_model's --larger_field variant

@@ -126,7 +126,17 @@ def train(
         print("fully trained")
         return params, batch_stats, total_steps
 
-    mesh = make_mesh(cfg.n_devices)
+    n_devices = cfg.n_devices
+    if n_devices is None:
+        # DataParallel never scatters more replicas than batch items
+        # (training/train.py:126-127); pick the largest device count that
+        # divides the batch so sharding stays even.
+        n_avail = len(jax.devices())
+        n_devices = max(
+            n for n in range(1, min(n_avail, cfg.batch_size) + 1)
+            if cfg.batch_size % n == 0
+        )
+    mesh = make_mesh(n_devices)
     step_fn = shard_train_step(
         make_train_step(
             model.module, tx, loss_type=cfg.loss_type, is_raft=model.is_raft,
