@@ -460,8 +460,11 @@ def bilinear_sample_auto(
         ry = _WARP_TILED_DEFAULT_RY
     if rx is None:
         rx = _WARP_TILED_DEFAULT_RX
+    from .kernel_gate import pallas_disabled
+
     eligible = (
         (interpret or jax.default_backend() == "tpu")
+        and not pallas_disabled()
         and x.ndim == 3
         and x.shape == img.shape[:3]
     )

@@ -1,4 +1,4 @@
-"""Device mesh + sharding helpers (data parallelism over ICI)."""
+"""Device mesh + sharding helpers (data + spatial parallelism over ICI)."""
 
 from .mesh import (
     DATA_AXIS,
@@ -9,13 +9,23 @@ from .mesh import (
     shard_batch,
     shard_predict,
 )
+from .spatial import (
+    SPATIAL_AXIS,
+    image_sharding,
+    make_2d_mesh,
+    spatial_predict,
+)
 
 __all__ = [
     "DATA_AXIS",
+    "SPATIAL_AXIS",
     "batch_sharding",
+    "image_sharding",
+    "make_2d_mesh",
     "make_mesh",
     "replicate",
     "replicated",
     "shard_batch",
     "shard_predict",
+    "spatial_predict",
 ]

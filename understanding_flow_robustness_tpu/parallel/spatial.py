@@ -1,0 +1,80 @@
+"""Spatial (height) sharding on a 2-D ``data x spatial`` mesh.
+
+The reference has no analog of this (its only parallelism is
+``torch.nn.DataParallel`` over the batch, SURVEY §2.9); this module is the
+TPU-native scaling headroom the SURVEY identifies for the "long context"
+axis of flow models — image RESOLUTION (§5): the cost drivers grow with
+H·W (and the all-pairs correlation with (H/8·W/8)²), so past a point a
+frame pair no longer fits one chip.
+
+Design (XLA SPMD, not manual halos): build a ``Mesh`` with axes
+``("data", "spatial")``, annotate NHWC image inputs/outputs with
+``PartitionSpec("data", "spatial")`` (batch over data, HEIGHT over
+spatial), replicate parameters, and jit.  XLA's SPMD partitioner inserts
+the conv halo exchanges (``collective_permute`` of boundary rows over
+ICI) and any gather/rebalance the non-conv ops need — the same compiler
+machinery the scaling playbook prescribes, with zero per-model code.
+Convolutional models (the FlowNet/SPyNet/PWC families) partition cleanly
+because every op is local-in-H modulo a small halo; ops with global H
+interaction (RAFT's on-demand correlation Pallas kernel) are not eligible
+(a Pallas call cannot be auto-partitioned) — RAFT stays on the data axis.
+
+``spatial_predict`` is exact: SPMD partitioning is semantics-preserving,
+so outputs match the single-device program bit-for-bit modulo float
+reassociation (tested in tests/test_spatial_shard.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+SPATIAL_AXIS = "spatial"
+
+
+def make_2d_mesh(n_data: int, n_spatial: int,
+                 devices: Optional[list] = None) -> Mesh:
+    """A ``(data, spatial)`` mesh over the first ``n_data * n_spatial``
+    devices.  The spatial axis should map to the faster (ICI-adjacent)
+    dimension on a real slice; on a virtual CPU mesh the order is moot."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_data * n_spatial
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(n_data, n_spatial)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC: batch over ``data``, height over ``spatial``."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+
+
+def spatial_predict(predict_fn, mesh: Mesh):
+    """Spatially-sharded inference for conv flow models.
+
+    ``predict_fn(variables, img1, img2) -> flow`` (FlowModel.predict_fn's
+    contract).  Parameters are replicated; images and the output flow are
+    sharded ``(batch -> data, H -> spatial)``.  XLA SPMD emits the conv
+    halo exchanges.  H must be divisible by the spatial axis size times
+    the model's total stride for even sharding — KITTI's 384 over 2 or 4
+    shards satisfies every zoo model (stride 64).
+    """
+    from ..ops.kernel_gate import no_pallas_kernels
+
+    def body(variables, img1, img2):
+        # Trace-time gate: a pallas_call has no SPMD partitioning rule, so
+        # the spatial program must select the exact pure-XLA formulations
+        # of the warp/correlation fast paths (ops/kernel_gate.py).
+        with no_pallas_kernels():
+            return predict_fn(variables, img1, img2)
+
+    rep = NamedSharding(mesh, P())
+    img = image_sharding(mesh)
+    return jax.jit(body, in_shardings=(rep, img, img), out_shardings=img)
