@@ -6,6 +6,8 @@ from .global_attacks import (
     gaussian_noise,
     ifgsm,
     make_jitted_attack,
+    make_sharded_attack,
+    make_spatial_attack,
     mifgsm,
     perturb,
     uniform_noise,
@@ -30,6 +32,8 @@ __all__ = [
     "gaussian_noise",
     "ifgsm",
     "make_jitted_attack",
+    "make_sharded_attack",
+    "make_spatial_attack",
     "mifgsm",
     "multiscale_cossim",
     "perturb",

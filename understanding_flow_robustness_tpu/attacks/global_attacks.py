@@ -405,3 +405,35 @@ def make_sharded_attack(predict_fn: Callable, cfg: PerturbConfig, mesh):
         in_shardings=(rep, data, data, data, rep),
         out_shardings=(data, data, data, data),
     )
+
+
+def make_spatial_attack(predict_fn: Callable, cfg: PerturbConfig, mesh):
+    """White-box attack on a 2-D ``data x spatial`` mesh: batch over the
+    data axis AND image height over the spatial axis, for frame pairs too
+    large for one chip (parallel/spatial.py; no reference analog).
+
+    XLA SPMD shards the conv forward/backward with halo exchanges; the
+    attack math itself (sign/normalize/clamp) is pointwise, so it shards
+    for free.  Semantics caveat: reassociation of the sharded conv
+    reductions perturbs gradient bits, and sign-based methods (fgsm/ifgsm)
+    amplify a near-zero-gradient bit flip to a full ±lr step at that
+    pixel — statistically irrelevant (tests/test_spatial_shard.py pins the
+    attack-effect equivalence) but not bit-identical to single-chip, unlike
+    ``make_sharded_attack`` which is.
+    """
+    from ..ops.kernel_gate import no_pallas_kernels
+    from ..parallel.spatial import image_sharding
+
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    img = image_sharding(mesh)
+
+    def run(variables, image0, image1, ground_truth, rng):
+        predict = lambda a, b: predict_fn(variables, a, b)  # noqa: E731
+        with no_pallas_kernels():
+            return perturb(predict, image0, image1, ground_truth, cfg, rng)
+
+    return jax.jit(
+        run,
+        in_shardings=(rep, img, img, img, rep),
+        out_shardings=(img, img, img, img),
+    )
