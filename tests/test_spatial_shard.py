@@ -63,6 +63,26 @@ def test_spatial_pwcnet():
     _run("PWCNet", atol=None, rel=0.02)
 
 
+def test_spatial_raft():
+    """RAFT spatial-shards via the gated pure-XLA volume path (all-pairs
+    einsum + selector lookup).  Random-init RAFT amplifies reassociation
+    noise through its recurrent iterations (same mechanism as the
+    documented bf16 drift at random weights), so the bound is relative."""
+    model = fetch_model("RAFT", pretrained_path=None, init_size=(128, 128),
+                        iters=3)
+    rng = np.random.RandomState(0)
+    img1 = rng.rand(2, 256, 128, 3).astype(np.float32)
+    img2 = rng.rand(2, 256, 128, 3).astype(np.float32)
+    ref = np.asarray(model.predict(img1, img2))
+
+    mesh = make_2d_mesh(2, 4)
+    fn = spatial_predict(model.predict_fn, mesh)
+    with mesh:
+        out = np.asarray(fn(model.variables, img1, img2))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.03, rel
+
+
 def test_mesh_shape_validation():
     with pytest.raises(ValueError):
         make_2d_mesh(4, 4, devices=jax.devices())

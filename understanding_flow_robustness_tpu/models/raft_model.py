@@ -39,6 +39,7 @@ from ..ops import (
     corr_lookup,
     corr_lookup_padded,
     corr_pyramid,
+    pallas_disabled,
     resize_bilinear,
     spatial_correlation,
 )
@@ -507,6 +508,7 @@ class RAFT(nn.Module):
         use_alt = (
             not self.compute_spatial
             and not self.return_features
+            and not pallas_disabled()
             and (self.corr_impl == "alt"
                  or (self.corr_impl == "auto"
                      and jax.default_backend() == "tpu"))
@@ -582,6 +584,7 @@ class RAFT(nn.Module):
             not use_alt
             and not self.compute_spatial
             and not self.small
+            and not pallas_disabled()
             and jax.default_backend() == "tpu"
         )
         if use_alt:

@@ -9,6 +9,7 @@ from .correlation import (
     corr_pyramid,
     spatial_correlation,
 )
+from .kernel_gate import no_pallas_kernels, pallas_disabled
 from .interp import (
     apply_pad,
     avg_pool2,
@@ -38,6 +39,8 @@ __all__ = [
     "corr_pyramid",
     "grid_sample",
     "nearest_sample",
+    "no_pallas_kernels",
+    "pallas_disabled",
     "remove_pad",
     "resize_bilinear",
     "spatial_correlation",

@@ -15,9 +15,12 @@ the conv halo exchanges (``collective_permute`` of boundary rows over
 ICI) and any gather/rebalance the non-conv ops need — the same compiler
 machinery the scaling playbook prescribes, with zero per-model code.
 Convolutional models (the FlowNet/SPyNet/PWC families) partition cleanly
-because every op is local-in-H modulo a small halo; ops with global H
-interaction (RAFT's on-demand correlation Pallas kernel) are not eligible
-(a Pallas call cannot be auto-partitioned) — RAFT stays on the data axis.
+because every op is local-in-H modulo a small halo.  RAFT partitions too:
+the trace-time kernel gate swaps its fused on-demand Pallas lookup (which
+cannot be auto-partitioned) for the pure-XLA volume path — all-pairs
+einsum + selector-matmul lookup, which SPMD shards over query rows — at
+the volume path's cost; RAFT's production single-chip/data-parallel mode
+is unaffected.
 
 ``spatial_predict`` is exact: SPMD partitioning is semantics-preserving,
 so outputs match the single-device program bit-for-bit modulo float
