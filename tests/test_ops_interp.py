@@ -183,3 +183,43 @@ def test_compute_pad_matches_input_padder():
             else:
                 exp = [pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht]
             assert [l, r, t, b] == exp
+
+
+def test_kernel_gate_controls_tiled_warp_path():
+    """ops.kernel_gate: under ``no_pallas_kernels()`` the tiled-MXU warp
+    (a pallas_call, not SPMD-partitionable) must give way to the gather
+    formulation at trace time; outside the gate (interpret mode standing
+    in for TPU eligibility) the kernel path is selected."""
+    import jax
+
+    from understanding_flow_robustness_tpu.ops.interp import (
+        bilinear_sample_auto,
+        coords_grid,
+    )
+    from understanding_flow_robustness_tpu.ops.kernel_gate import (
+        no_pallas_kernels,
+        pallas_disabled,
+    )
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 256, 256, 3).astype(np.float32))
+    base = coords_grid(256, 256, dtype=jnp.float32)[None]
+    x, y = base[..., 0] + 1.3, base[..., 1] - 0.7
+
+    def make_f():
+        # fresh function object per trace: JAX's tracing cache is keyed on
+        # function identity + avals and would otherwise return the first
+        # trace regardless of the gate (the gate is trace-time state, so
+        # every gated entry point uses a fresh closure — parallel/spatial.py)
+        return lambda img, x, y: bilinear_sample_auto(
+            img, x, y, interpret=True)
+
+    assert not pallas_disabled()
+    jaxpr_kernel = str(jax.make_jaxpr(make_f())(img, x, y))
+    with no_pallas_kernels():
+        assert pallas_disabled()
+        jaxpr_gated = str(jax.make_jaxpr(make_f())(img, x, y))
+    assert not pallas_disabled()
+
+    assert "pallas_call" in jaxpr_kernel
+    assert "pallas_call" not in jaxpr_gated
