@@ -88,6 +88,17 @@ def test_mesh_shape_validation():
         make_2d_mesh(4, 4, devices=jax.devices())
 
 
+def test_spatial_height_validation():
+    """Uneven height sharding fails fast with the rule named, not with
+    pjit's opaque divisibility error."""
+    model = fetch_model("FlowNetS", pretrained_path=None)
+    mesh = make_2d_mesh(2, 4)
+    fn = spatial_predict(model.predict_fn, mesh)
+    img = np.zeros((2, 192, 128, 3), np.float32)  # 192 % (4*64) != 0
+    with mesh, pytest.raises(ValueError, match="spatial axis"):
+        fn(model.variables, img, img)
+
+
 def test_spatial_attack_ifgm():
     """make_spatial_attack: the white-box attack sharded over both batch
     and image height.  ifgm's L2-normalized updates are smooth in the

@@ -422,12 +422,14 @@ def make_spatial_attack(predict_fn: Callable, cfg: PerturbConfig, mesh):
     ``make_sharded_attack`` which is.
     """
     from ..ops.kernel_gate import no_pallas_kernels
-    from ..parallel.spatial import image_sharding
+    from ..parallel.mesh import replicated
+    from ..parallel.spatial import check_spatial_shapes, image_sharding
 
-    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    rep = replicated(mesh)
     img = image_sharding(mesh)
 
     def run(variables, image0, image1, ground_truth, rng):
+        check_spatial_shapes(mesh, image0)
         predict = lambda a, b: predict_fn(variables, a, b)  # noqa: E731
         with no_pallas_kernels():
             return perturb(predict, image0, image1, ground_truth, cfg, rng)

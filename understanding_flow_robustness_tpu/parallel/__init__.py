@@ -11,6 +11,7 @@ from .mesh import (
 )
 from .spatial import (
     SPATIAL_AXIS,
+    check_spatial_shapes,
     image_sharding,
     make_2d_mesh,
     spatial_predict,
@@ -20,6 +21,7 @@ __all__ = [
     "DATA_AXIS",
     "SPATIAL_AXIS",
     "batch_sharding",
+    "check_spatial_shapes",
     "image_sharding",
     "make_2d_mesh",
     "make_mesh",

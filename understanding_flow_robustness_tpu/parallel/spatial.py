@@ -59,6 +59,21 @@ def image_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
 
 
+def check_spatial_shapes(mesh: Mesh, img: "jax.Array", stride: int = 64):
+    """Fail fast (at trace time, with the actual rule named) when image
+    height cannot shard evenly over the mesh's spatial axis — otherwise
+    the violation surfaces as an opaque pjit divisibility error, or as a
+    stride-violating layout for H not divisible by n_spatial*stride."""
+    n_sp = mesh.shape[SPATIAL_AXIS]
+    h = img.shape[1]
+    if h % (n_sp * stride):
+        raise ValueError(
+            f"image height {h} must be divisible by the spatial axis size "
+            f"({n_sp}) times the model stride ({stride}) for even height "
+            f"sharding; reshape/pad the input or shrink the spatial axis"
+        )
+
+
 def spatial_predict(predict_fn, mesh: Mesh):
     """Spatially-sharded inference for conv flow models.
 
@@ -70,14 +85,16 @@ def spatial_predict(predict_fn, mesh: Mesh):
     shards satisfies every zoo model (stride 64).
     """
     from ..ops.kernel_gate import no_pallas_kernels
+    from .mesh import replicated
 
     def body(variables, img1, img2):
+        check_spatial_shapes(mesh, img1)
         # Trace-time gate: a pallas_call has no SPMD partitioning rule, so
         # the spatial program must select the exact pure-XLA formulations
         # of the warp/correlation fast paths (ops/kernel_gate.py).
         with no_pallas_kernels():
             return predict_fn(variables, img1, img2)
 
-    rep = NamedSharding(mesh, P())
+    rep = replicated(mesh)
     img = image_sharding(mesh)
     return jax.jit(body, in_shardings=(rep, img, img), out_shardings=img)
