@@ -291,7 +291,9 @@ def corr_lookup(pyramid: list[Array], coords: Array, radius: int = 4,
     traffic of the MXU path — the lookup is HBM-bound, so halving the
     element size nearly halves its cost; accumulation stays f32.
 
-    impl=None (default) auto-selects: "pallas" on TPU, "mxu" elsewhere.
+    impl=None (default) resolves to "mxu" (see the comment at the
+    selection site: the fused kernel's compact-layout win is eaten by an
+    output relayout; the relayout-free form is ``corr_lookup_padded``).
 
     impl="pallas": fused Pallas kernel (ops/pallas/corr_lookup_fused.py) —
     the TPU analog of alt_cuda_corr/correlation_kernel.cu:18-100.  The
