@@ -251,3 +251,37 @@ def test_train_cli_dropout_unsupported():
 
     with pytest.raises(NotImplementedError):
         train_cli.main(["--dropout", "0.5", "--synthetic", "1", "--DEBUG"])
+
+
+@pytest.mark.parametrize("flag", ["--flowNetCFlexible", "--pinard",
+                                  "--update_no_motion_downsampling"])
+def test_train_cli_dead_reference_flags_raise(flag):
+    """Flags whose model construction is commented out in the reference
+    itself (train.py:66-84) are accepted by the parser but raise with the
+    citation instead of silently training the wrong architecture (which is
+    what the reference's fall-through to RAFT would do)."""
+    from understanding_flow_robustness_tpu.cli import train as train_cli
+
+    with pytest.raises(NotImplementedError, match="dead in the reference"):
+        train_cli.main([flag, "--synthetic", "1", "--DEBUG"])
+
+
+def test_train_cli_alternate_corr_and_subset(tmp_path):
+    """--alternate_corr forces the fused lookup (train.py:436) and
+    --online_subset trains on a fixed index view
+    (training/utils.py:275-276)."""
+    from understanding_flow_robustness_tpu.cli import train as train_cli
+    from understanding_flow_robustness_tpu.data.datasets import Subset
+
+    ds = list(range(10))
+    sub = Subset(ds, [7, 3])
+    assert len(sub) == 2 and sub[0] == 7 and sub[1] == 3
+
+    # --alternate_corr falls back to auto on the CPU backend (the Pallas
+    # kernel only lowers on TPU), so the smoke run must still train.
+    train_cli.main([
+        "--name", "smoke", "--stage", "chairs", "--num_steps", "1",
+        "--batch_size", "1", "--image_size", "64", "64",
+        "--synthetic", "1", "--DEBUG", "--checkpoint_dir", str(tmp_path),
+        "--model", "RAFT", "--small", "--alternate_corr",
+    ])

@@ -138,6 +138,43 @@ def build_parser():
                    help="RAFT spatial-correlation mode")
     p.add_argument("--corr_levels", type=int, default=4)
     p.add_argument("--corr_radius", type=int, default=4)
+    p.add_argument("--flownetc_weighing", action="store_true",
+                   help="FlowNetC per-scale loss weights in multiscale_epe "
+                        "(train.py:448, utils.py:119)")
+    p.add_argument("--alternate_corr", action="store_true",
+                   help="RAFT on-demand correlation (train.py:436; here "
+                        "the fused Pallas lookup, the TPU alt_cuda_corr — "
+                        "already the default on TPU, this forces it)")
+    p.add_argument("--online_subset", type=int, nargs="+", default=None,
+                   help="train on a fixed subset of dataset indices "
+                        "(training/utils.py:275-283)")
+    # Dead-upstream experimental flags: the reference PARSES these but
+    # their model-construction code is commented out (train.py:66-84), the
+    # module never reads them, or the live read crashes on a channel
+    # mismatch (--update_no_motion_downsampling, raft/update.py:110-119:
+    # skipping convc2 feeds 256+64 channels into a 256-input conv).
+    # Accepted for flag-surface compatibility; selecting one raises.
+    for flag in ("--flowNetCFlexible", "--larger_field2", "--relu_wo_out",
+                 "--net_relu", "--no_residuals", "--no_sep_gru",
+                 "--iterative", "--single", "--pinard", "--predict_bias",
+                 "--raft_leaky_relu", "--raft_no_out_conv", "--corr_conv",
+                 "--first_conv_5", "--relu",
+                 "--update_no_motion_downsampling"):
+        p.add_argument(flag, action="store_true",
+                       dest=f"dead_{flag.lstrip('-')}",
+                       help="dead in the reference (train.py:66-84 "
+                            "commented out / never read); raises here")
+    p.add_argument("--raft_kernel_size", type=int, default=3,
+                   help="dead in the reference (only the commented-out "
+                        "FlowNetCFlexible path reads it); raises if != 3")
+    p.add_argument("--flowNetC_corrDepth", type=int, default=None,
+                   help="dead in the reference; raises if set")
+    p.add_argument("--flowNetC_separateContext", action="store_true",
+                   dest="dead_flowNetC_separateContext",
+                   help="dead in the reference; raises here")
+    p.add_argument("--flowNetC_raftEncoder", action="store_true",
+                   dest="dead_flowNetC_raftEncoder",
+                   help="dead in the reference; raises here")
     p.add_argument("--dropout", type=float, default=0.0,
                    help="encoder dropout (train.py:398; reference default "
                         "0 — nonzero is not supported here)")
@@ -166,6 +203,19 @@ def main(argv=None):
         raise NotImplementedError(
             "--dropout > 0 is not supported (the reference default is 0; "
             "no released checkpoint trains with it)")
+    dead = [k for k, v in vars(args).items() if k.startswith("dead_") and v]
+    if args.raft_kernel_size != 3:
+        dead.append("raft_kernel_size")
+    if args.flowNetC_corrDepth is not None:
+        dead.append("flowNetC_corrDepth")
+    if dead:
+        raise NotImplementedError(
+            f"{sorted(dead)}: dead in the reference itself — the model "
+            "construction for these flags is commented out "
+            "(training/train.py:66-84), the modules never read them, or "
+            "the live read crashes upstream "
+            "(--update_no_motion_downsampling, models/raft/update.py:"
+            "110-119 channel mismatch)")
 
     # reference get_model() dispatch (training/train.py:55-92)
     kwargs = {}
@@ -209,6 +259,15 @@ def main(argv=None):
             kwargs["corr_levels"] = args.corr_levels
         if args.corr_radius != 4:
             kwargs["corr_radius"] = args.corr_radius
+        if args.alternate_corr:
+            # force the fused on-demand lookup (the TPU alt_cuda_corr);
+            # on non-TPU backends the Pallas kernel cannot lower, and
+            # corr_impl="auto" already picks the right path per backend
+            if jax.default_backend() == "tpu":
+                kwargs["corr_impl"] = "alt"
+            else:
+                print("--alternate_corr: no TPU backend; keeping "
+                      "corr_impl='auto' (the volume path)")
     if args.mixed_precision:
         kwargs["mixed_precision"] = True
     if args.model_kwargs:
@@ -244,6 +303,7 @@ def main(argv=None):
         # only with --multiscaleEPE
         loss_type="multiscale" if args.multiscaleEPE else "sequence",
         flownetc=is_flownetc_style, pwc="PWC" in args.model,
+        flownetc_weighing=args.flownetc_weighing,
         # train.py:130-137: BN frozen for non-chairs stages, but only for
         # RAFT-style models (flexible/FlowNetC/PWC are excluded there).
         freeze_bn=args.stage != "chairs" and model.is_raft,
@@ -292,6 +352,11 @@ def main(argv=None):
         roots = json.loads(args.data_roots) if args.data_roots else None
         dataset = fetch_dataset(args.stage, tuple(args.image_size),
                                 trans_rot=args.trans_rot, roots=roots)
+        if args.online_subset is not None:
+            # train on a fixed index subset (training/utils.py:275-276)
+            from ..data.datasets import Subset
+
+            dataset = Subset(dataset, list(args.online_subset))
 
         def batches():
             loader = DataLoader(dataset, batch_size=args.batch_size,

@@ -118,6 +118,21 @@ class ConcatFlowDataset(FlowDataset):
         return ConcatFlowDataset(self.datasets + [other])
 
 
+class Subset:
+    """torch.utils.data.Subset stand-in: a fixed index view of a dataset
+    (used by the trainer's --online_subset, training/utils.py:275-276)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, index):
+        return self.dataset[self.indices[index]]
+
+
 class MpiSintel(FlowDataset):
     """datasets.py:111-129."""
 
