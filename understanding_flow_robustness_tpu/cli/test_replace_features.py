@@ -38,7 +38,7 @@ from .test_patch import _val_samples, build_parser as _base_parser
 def build_parser():
     p = _base_parser()
     p.description = __doc__
-    p.add_argument("--feature_keys", nargs="+", default=["corr"],
+    p.add_argument("-fk", "--feature_keys", nargs="+", default=["corr"],
                    help="feature maps to replace (conv3a conv3b corr "
                         "conv_redir conv3_1)")
     p.add_argument("--all_key_subsets", action="store_true",
