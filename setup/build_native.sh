@@ -6,6 +6,6 @@
 set -e
 cd "$(dirname "$0")/.."
 g++ -O3 -march=native -fopenmp -shared -fPIC \
-    native/ufr_native.cpp \
+    understanding_flow_robustness_tpu/native/src/ufr_native.cpp \
     -o understanding_flow_robustness_tpu/native/_ufr_native.so
 echo "built understanding_flow_robustness_tpu/native/_ufr_native.so"

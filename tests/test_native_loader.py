@@ -1,4 +1,4 @@
-"""Native prefetching decode pipeline (native/ufr_loader.cpp).
+"""Native prefetching decode pipeline (native/src/ufr_loader.cpp).
 
 The reference hides IO/decode latency behind torch DataLoader worker
 processes (dataset_utils/datasets.py); here a C++ thread pool decodes

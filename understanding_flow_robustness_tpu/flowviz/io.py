@@ -19,7 +19,7 @@ TAG_FLOAT = 202021.25
 
 
 def _native_decode(path: str):
-    """Bit-exact native fast path (native/ufr_loader.cpp via ctypes);
+    """Bit-exact native fast path (native/src/ufr_loader.cpp via ctypes);
     None when the library is unavailable or the format unsupported —
     callers fall through to the pure-Python readers.  Disable with
     UFR_NATIVE_DECODE=0."""

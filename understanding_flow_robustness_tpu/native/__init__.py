@@ -1,6 +1,7 @@
 """ctypes bindings for the native host-side data-pipeline kernels
-(native/ufr_native.cpp).  Auto-builds with g++ on first use; every entry
-point has a numpy fallback so the framework works without a toolchain.
+(native/src/ufr_native.cpp, shipped inside the package).  Auto-builds with
+g++ on first use; every entry point has a numpy fallback so the framework
+works without a toolchain.
 """
 
 from __future__ import annotations
@@ -17,8 +18,7 @@ _LIB = None
 _TRIED = False
 
 _SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native", "ufr_native.cpp",
+    os.path.dirname(os.path.abspath(__file__)), "src", "ufr_native.cpp",
 )
 
 

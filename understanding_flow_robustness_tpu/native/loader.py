@@ -1,4 +1,4 @@
-"""Native prefetching file-decode pipeline (native/ufr_loader.cpp).
+"""Native prefetching file-decode pipeline (native/src/ufr_loader.cpp).
 
 The reference hides IO/decode latency behind DataLoader worker processes
 (dataset_utils/datasets.py ``num_workers``).  Here a C++ thread pool
@@ -33,8 +33,7 @@ _LIB = None
 _TRIED = False
 
 _SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native", "ufr_loader.cpp",
+    os.path.dirname(os.path.abspath(__file__)), "src", "ufr_loader.cpp",
 )
 
 _DTYPES = {0: np.uint8, 1: np.float32, 2: np.uint16}
