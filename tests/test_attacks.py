@@ -95,6 +95,32 @@ def test_gradient_attacks_increase_loss(method):
     assert adv_err > clean_err  # the attack must move the flow
 
 
+def test_mifgsm_batched_matches_per_sample():
+    """mifgsm's L1 gradient normalization is PER SAMPLE: the reference's
+    whole-tensor torch.sum (perturb_model.py:673-679) runs at batch size 1
+    only (perturb_main.py:189), so the faithful batched generalization must
+    not couple samples through a shared norm."""
+    img0 = jnp.asarray(RNG.rand(2, 16, 24, 3).astype(np.float32))
+    img1 = jnp.asarray(RNG.rand(2, 16, 24, 3).astype(np.float32))
+    flow = toy_predict(img0, img1)
+    gt = jnp.concatenate(
+        [flow + 1.0, jnp.ones_like(flow[..., :1])], axis=-1
+    )
+    cfg = PerturbConfig(perturb_method="mifgsm", flow_loss="l2",
+                        output_norm=0.05, n_step=4, learning_rate=0.01)
+    run = make_jitted_attack(toy_predict, cfg)
+    n0b, n1b, _, _ = run(img0, img1, gt, jax.random.PRNGKey(0))
+    for b in range(2):
+        n0s, n1s, _, _ = run(img0[b:b + 1], img1[b:b + 1], gt[b:b + 1],
+                             jax.random.PRNGKey(0))
+        # toy_predict's 3x3 smoothing makes per-sample losses independent
+        # of the other batch entry, so the noises must match exactly
+        np.testing.assert_allclose(np.asarray(n0b[b]), np.asarray(n0s[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(n1b[b]), np.asarray(n1s[0]),
+                                   atol=1e-6)
+
+
 def test_noise_attacks_shapes():
     img0 = jnp.asarray(RNG.rand(1, 8, 8, 3).astype(np.float32))
     img1 = jnp.asarray(RNG.rand(1, 8, 8, 3).astype(np.float32))

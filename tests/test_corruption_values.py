@@ -467,3 +467,20 @@ def test_elastic_table_pinned():
     for frag in ("* 2", "0.7", "0.08", "0.05", "0.07", "0.12", "0.01",
                  "0.02", "0.1", "0.2"):
         assert frag in src, frag
+
+
+@pytest.mark.parametrize("mode", ["both", "left", "right"])
+def test_corrupt_pair_corrupts_both_frames(mode):
+    """The reference corrupts BOTH frames unconditionally
+    (perturb_model.py:384-418); perturb_mode only selects the shared frost
+    index for mode='same' — it never gates which frame is corrupted."""
+    rng = np.random.RandomState(0)
+    im0 = rng.rand(1, 32, 48, 3).astype(np.float32)
+    im1 = rng.rand(1, 32, 48, 3).astype(np.float32)
+    out0, out1 = C.corrupt_pair(im0, im1, "contrast", 3, mode=mode)
+    assert np.abs(out0 - im0).max() > 1e-3
+    assert np.abs(out1 - im1).max() > 1e-3
+    # deterministic corruption: mode must not change the values either
+    ref0, ref1 = C.corrupt_pair(im0, im1, "contrast", 3, mode="both")
+    np.testing.assert_array_equal(out0, ref0)
+    np.testing.assert_array_equal(out1, ref1)

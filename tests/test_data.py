@@ -144,3 +144,25 @@ def test_pad_batch_static_shapes():
     assert a.shape[1] % 8 == 0 and a.shape[2] % 8 == 0
     assert v.shape == a.shape[:3]
     assert pad == (0, 1, 3, 3)  # kitti mode: bottom/right-favoring
+
+
+def test_dataloader_reshuffles_across_epochs():
+    """One DataLoader reused across epochs reshuffles each pass (its
+    RandomState advances), matching torch DataLoader(shuffle=True); an
+    epoch loop must NOT see the seed's first permutation every time."""
+
+    class Tagged:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            img = np.full((4, 4, 3), float(i), np.float32)
+            return img, img, np.zeros((4, 4, 2), np.float32), \
+                np.ones((4, 4), np.float32)
+
+    loader = DataLoader(Tagged(), batch_size=1, shuffle=True,
+                        num_workers=0, seed=7)
+    epoch = lambda: [int(b["image1"][0, 0, 0, 0] * 255) for b in loader]
+    orders = [epoch() for _ in range(3)]
+    assert sorted(orders[0]) == sorted(orders[1])  # same samples
+    assert orders[0] != orders[1] or orders[1] != orders[2]

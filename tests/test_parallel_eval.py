@@ -112,6 +112,25 @@ def test_perturb_runner_mesh_mode(tmp_path, mesh):
     ) == 16
 
 
+def test_perturb_runner_mesh_rejects_show_evolve(tmp_path, mesh):
+    """show_evolve_path has no sharded trajectory variant; the runner must
+    fail loudly instead of silently dropping the requested GIFs."""
+    from understanding_flow_robustness_tpu.attacks.perturb_runner import (
+        RunConfig,
+        run,
+    )
+
+    variables = {"w": jnp.asarray(RNG.randn(6, 2).astype(np.float32))}
+    cfg = RunConfig(
+        perturb=PerturbConfig(perturb_method="ifgsm", n_step=2),
+        output_path=str(tmp_path / "evo_run"),
+        show_evolve_path=str(tmp_path / "evo_gifs"),
+    )
+    with pytest.raises(ValueError, match="show_evolve_path"):
+        run(lambda a, b: _toy_predict_fn(variables, a, b), iter(()), cfg,
+            mesh=mesh, predict_fn=_toy_predict_fn, variables=variables)
+
+
 def test_validate_kitti_sharded_matches_sequential(mesh):
     """Mesh-batched KITTI validation == sequential on same-size samples."""
     from understanding_flow_robustness_tpu.training.evaluate import (

@@ -103,12 +103,16 @@ def test_train_loop_and_resume(tmp_path, tiny_raft):
     params, stats, steps = train(
         cfg, tiny_raft, _batches(), logger=lambda s, m: seen.append(m)
     )
-    assert steps == 3
+    # total_steps counts BATCHES and stops on total_steps > num_steps
+    # (train.py:338,341-345): num_steps=3 -> 4 batches
+    assert steps == 4
+    assert len(seen) == 4
     assert all(np.isfinite(m["loss"]) for m in seen)
 
-    # resume: already fully trained -> returns immediately at saved step
+    # resume: already fully trained (total_steps + 1 >= num_steps,
+    # train.py:622) -> returns immediately at saved step
     params2, _, steps2 = train(cfg, tiny_raft, _batches())
-    assert steps2 == 3
+    assert steps2 == 4
 
 
 def test_adversarial_training_step(tmp_path, tiny_raft):

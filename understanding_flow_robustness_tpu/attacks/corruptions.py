@@ -600,6 +600,8 @@ def corrupt_pair(image0_01: np.ndarray, image1_01: np.ndarray,
         # drawn 0 is then redrawn inside frost() via its falsy-idx quirk
         idx = frost_idx if frost_idx is not None else np.random.randint(5)
         return apply(image0_01, idx), apply(image1_01, idx)
-    out0 = apply(image0_01, None) if mode in ("both", "left", "same") else image0_01
-    out1 = apply(image1_01, None) if mode in ("both", "right", "same") else image1_01
-    return out0, out1
+    # BOTH frames are always corrupted (perturb_model.py:384-418 applies
+    # the corruption to image0 and image1 unconditionally); perturb_mode
+    # only selects the shared frost index above — it never gates which
+    # frame gets corrupted, unlike the gradient attacks' left/right masks.
+    return apply(image0_01, None), apply(image1_01, None)

@@ -273,8 +273,15 @@ def _mifgsm_body_fn(predict, image0, image1, ground_truth,
     def body(i, carry):
         out0, out1, acc0, acc1 = carry
         g0, g1 = grad_fn(i, out0, out1, ground_truth)
-        acc0 = mu * acc0 + (1.0 - mu) * g0 / jnp.sum(jnp.abs(g0))
-        acc1 = mu * acc1 + (1.0 - mu) * g1 / jnp.sum(jnp.abs(g1))
+        # PER-SAMPLE L1 normalization: the reference's whole-tensor
+        # torch.sum (perturb_model.py:673-679) IS the per-sample norm at
+        # its only batch size (1, perturb_main.py:189); reducing over the
+        # batch axis too would couple samples in batched/sharded attacks.
+        ax = tuple(range(1, g0.ndim))
+        acc0 = mu * acc0 + (1.0 - mu) * g0 / jnp.sum(
+            jnp.abs(g0), axis=ax, keepdims=True)
+        acc1 = mu * acc1 + (1.0 - mu) * g1 / jnp.sum(
+            jnp.abs(g1), axis=ax, keepdims=True)
         out0 = jnp.clip(out0 + cfg.learning_rate * jnp.sign(acc0) * m0, 0.0, 1.0)
         out1 = jnp.clip(out1 + cfg.learning_rate * jnp.sign(acc1) * m1, 0.0, 1.0)
         n0 = jnp.clip(out0 - image0, -eps, eps)

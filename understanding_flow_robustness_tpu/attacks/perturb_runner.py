@@ -167,6 +167,13 @@ def run(
     if mesh is not None:
         if predict_fn is None or variables is None:
             raise ValueError("mesh mode needs predict_fn + variables")
+        if cfg.show_evolve_path:
+            # the sharded attack has no trajectory-collecting variant;
+            # failing loudly beats silently dropping the requested GIFs
+            raise ValueError(
+                "show_evolve_path is not supported with mesh sharding; "
+                "run unsharded to collect perturbation-evolution GIFs"
+            )
         from ..parallel.mesh import shard_predict
         from .global_attacks import make_sharded_attack
 

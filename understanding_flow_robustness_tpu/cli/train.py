@@ -358,9 +358,15 @@ def main(argv=None):
 
             dataset = Subset(dataset, list(args.online_subset))
 
+        # ONE loader for the whole run: its RandomState advances across
+        # epochs, so each batches() pass sees a fresh shuffle — torch's
+        # DataLoader(shuffle=True) reshuffles per epoch the same way.
+        # (Rebuilding the loader per epoch would replay the seed's first
+        # permutation every epoch.)
+        loader = DataLoader(dataset, batch_size=args.batch_size,
+                            shuffle=True, num_workers=4, seed=args.seed)
+
         def batches():
-            loader = DataLoader(dataset, batch_size=args.batch_size,
-                                shuffle=True, num_workers=4, seed=args.seed)
             yield from loader
 
         def sample_gt_fn(rng):

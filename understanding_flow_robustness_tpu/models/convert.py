@@ -258,8 +258,8 @@ def convert_flownet2(sd: dict[str, np.ndarray]):
             sub_fn_factory(deconv=False, seq=False),
         ),
         (
-            rf"{subs}\.(?P<name>{_FLOWNET_DECODER_CONVT}|"
-            rf"upsampled_flow\d_to_\d)\.(?P<attr>weight|bias)",
+            rf"{subs}\.(?P<name>{_FLOWNET_DECODER_CONVT})"
+            rf"\.(?P<attr>weight|bias)",
             sub_fn_factory(deconv=True, seq=False),
         ),
     ]

@@ -255,7 +255,6 @@ def _merge_strict(init_vars: dict, loaded: dict, name: str) -> dict:
             f"checkpoint mismatch for {name}: missing={sorted(missing)[:8]} "
             f"extra={sorted(extra)[:8]}"
         )
-    out = dict(init_vars)
     merged = _flatten(init_vars)
     for k, v in flat_new.items():
         if merged[k].shape != v.shape:

@@ -42,6 +42,7 @@ def _so_path() -> str:
 def _build(so: str) -> bool:
     # Portable codegen (no -march=native): the cached .so may outlive the
     # host it was built on.
+    tmp = None   # mkstemp itself may raise; the handler must not NameError
     try:
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(so))
         os.close(fd)
@@ -52,10 +53,11 @@ def _build(so: str) -> bool:
         os.replace(tmp, so)
         return True
     except Exception:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return False
 
 

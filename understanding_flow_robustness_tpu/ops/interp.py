@@ -30,6 +30,7 @@ All functions take NHWC tensors: TPU vector lanes run along the trailing
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

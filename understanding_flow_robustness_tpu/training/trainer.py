@@ -122,9 +122,12 @@ def train(
         batch_stats = restored["batch_stats"]
         total_steps = int(restored["total_steps"])
         print(f"resumed from step {total_steps}")
-    if total_steps >= cfg.num_steps:
-        print("fully trained")
-        return params, batch_stats, total_steps
+        # fully-trained detection on a RESTORED checkpoint only,
+        # train.py:619-622 (total_steps + 1 >= num_steps; fresh runs train
+        # regardless, via the first_training gate)
+        if total_steps + 1 >= cfg.num_steps:
+            print("fully trained")
+            return params, batch_stats, total_steps
 
     n_devices = cfg.n_devices
     if n_devices is None:
@@ -151,6 +154,7 @@ def train(
     rng_key = jax.random.PRNGKey(cfg.seed)
     np_rng = np.random.RandomState(cfg.seed)
     should_keep_training = True
+    attack_fn = None   # built once on the first adversarial batch
 
     with mesh:
         params = replicate(mesh, params)
@@ -173,21 +177,30 @@ def train(
                         )
                 if cfg.adversarial:
                     # eval-mode attack on the batch, clean+adv concat
-                    # (train.py:171-221); batch_size 1 per the reference
-                    cur_params = params
-                    cur_stats = batch_stats
+                    # (train.py:171-221); batch_size 1 per the reference.
+                    # The attack is jitted ONCE with the current params as
+                    # a TRACED argument — rebuilding a closure over the
+                    # fresh params each batch would re-trace (and re-
+                    # dispatch uncached) the whole n-step attack loop
+                    # every batch.
+                    if attack_fn is None:
+                        def _attack_impl(p, s, i1, i2, gt, key):
+                            def predict_now(a, b):
+                                variables = {"params": p}
+                                if s:
+                                    variables["batch_stats"] = s
+                                if model.is_raft:
+                                    _, f = model.module.apply(
+                                        variables, a * 255.0, b * 255.0,
+                                        test_mode=True,
+                                    )
+                                    return f
+                                return model.module.apply(variables, a, b)
 
-                    def predict_now(a, b):
-                        variables = {"params": cur_params}
-                        if cur_stats:
-                            variables["batch_stats"] = cur_stats
-                        if model.is_raft:
-                            _, f = model.module.apply(
-                                variables, a * 255.0, b * 255.0,
-                                test_mode=True,
-                            )
-                            return f
-                        return model.module.apply(variables, a, b)
+                            return perturb(predict_now, i1, i2, gt,
+                                           cfg.adv_config, key)
+
+                        attack_fn = jax.jit(_attack_impl)
 
                     rng_key, sub = jax.random.split(rng_key)
                     if cfg.arbitrary_gt and sample_gt_fn is not None:
@@ -206,10 +219,10 @@ def train(
                             [jnp.asarray(batch["flow"]),
                              jnp.asarray(batch["valid"])[..., None]], axis=-1
                         )
-                    _, _, adv1, adv2 = perturb(
-                        predict_now, jnp.asarray(batch["image1"]),
-                        jnp.asarray(batch["image2"]), gt,
-                        cfg.adv_config, sub,
+                    _, _, adv1, adv2 = attack_fn(
+                        params, batch_stats,
+                        jnp.asarray(batch["image1"]),
+                        jnp.asarray(batch["image2"]), gt, sub,
                     )
                     batch = {
                         "image1": np.concatenate(
@@ -224,16 +237,22 @@ def train(
                     k: jnp.asarray(v) for k, v in batch.items()
                     if k in ("image1", "image2", "flow", "valid")
                 })
+                # INNER_ITERATION optimizer updates per batch; the LR
+                # schedule advances per update (scheduler.step() inside the
+                # inner loop, train.py:281) but total_steps counts BATCHES
+                # (train.py:338 increments outside the inner loop) — under
+                # adversarial training the reference takes num_steps
+                # batches = 3*num_steps optimizer updates.
                 for _ in range(inner):
                     params, opt_state, batch_stats, metrics = step_fn(
                         params, opt_state, batch_stats, dev_batch
                     )
-                    total_steps += 1
 
                 if logger is not None:
                     logger(total_steps, jax.tree_util.tree_map(
                         lambda x: float(x), metrics))
 
+                # pre-increment cadence, as in train.py:289
                 if total_steps % cfg.val_freq == cfg.val_freq - 1:
                     if cfg.save_checkpoints:
                         ckpt.save_checkpoint(
@@ -243,7 +262,8 @@ def train(
                     if validate_fn is not None:
                         validate_fn(params, batch_stats, total_steps)
 
-                if total_steps >= cfg.num_steps:
+                total_steps += 1
+                if total_steps > cfg.num_steps:
                     should_keep_training = False
                     break
                 if time.time() - t_start > cfg.time_limit:
