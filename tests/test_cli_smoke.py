@@ -285,3 +285,74 @@ def test_train_cli_alternate_corr_and_subset(tmp_path):
         "--synthetic", "1", "--DEBUG", "--checkpoint_dir", str(tmp_path),
         "--model", "RAFT", "--small", "--alternate_corr",
     ])
+
+
+def _write_pair_pngs(d, n=3, h=64, w=96):
+    import cv2
+
+    rng = np.random.RandomState(0)
+    os.makedirs(d, exist_ok=True)
+    for i in range(n):
+        for sfx in ("_10", "_11"):
+            img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(d, f"{i:06d}{sfx}.png"), img)
+
+
+def test_infer_cli_dir_mode(tmp_path):
+    """ufr-infer over a KITTI-style pair directory writes one artifact set
+    per pair at the input resolution."""
+    from understanding_flow_robustness_tpu.cli import infer
+
+    src = str(tmp_path / "pairs")
+    out = str(tmp_path / "out")
+    _write_pair_pngs(src, n=3)
+    done = infer.main([
+        "--flownet", "FlowNetS", "--dir", src, "--output_dir", out,
+        "--save", "flo,png,viz", "--batch_size", "2",
+    ])
+    assert done == 3
+    from understanding_flow_robustness_tpu.flowviz import io as fio
+
+    for i in range(3):
+        flow = fio.read_flo(os.path.join(out, f"{i:06d}.flo"))
+        assert flow.shape == (64, 96, 2)
+        assert np.isfinite(flow).all()
+        assert os.path.exists(os.path.join(out, f"{i:06d}_flow.png"))
+        assert os.path.exists(os.path.join(out, f"{i:06d}_viz.png"))
+
+
+def test_infer_cli_mesh_matches_single(tmp_path):
+    """--devices 2 (data-parallel mesh) produces the same flows as one
+    device."""
+    from understanding_flow_robustness_tpu.cli import infer
+    from understanding_flow_robustness_tpu.flowviz import io as fio
+
+    src = str(tmp_path / "pairs")
+    _write_pair_pngs(src, n=2)
+    pairs = str(tmp_path / "pairs.txt")
+    with open(pairs, "w") as f:
+        for i in range(2):
+            f.write(f"{src}/{i:06d}_10.png {src}/{i:06d}_11.png\n")
+
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    common = ["--flownet", "FlowNetS", "--pairs", pairs,
+              "--batch_size", "2"]
+    infer.main(common + ["--output_dir", out1, "--devices", "1"])
+    infer.main(common + ["--output_dir", out2, "--devices", "2"])
+    for i in range(2):
+        a = fio.read_flo(os.path.join(out1, f"{i:06d}_10.flo"))
+        b = fio.read_flo(os.path.join(out2, f"{i:06d}_10.flo"))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_infer_cli_rejects_bad_args(tmp_path):
+    from understanding_flow_robustness_tpu.cli import infer
+
+    with pytest.raises(SystemExit):
+        infer.main(["--flownet", "FlowNetS"])  # no input selection
+    with pytest.raises(SystemExit):
+        infer.main(["--flownet", "FlowNetS", "--img1", "a", "--img2", "b",
+                    "--batch_size", "3", "--devices", "2"])
+    with pytest.raises(SystemExit):
+        infer.main(["--flownet", "FlowNetS", "--img1", "a", "--img2", "b",
+                    "--save", "exr"])
