@@ -157,3 +157,55 @@ def test_corrupt_checkpoint_raises(tmp_path):
     torch.save({"state_dict": sd}, tmp_path / "FlowNet2-C_checkpoint.pth.tar")
     with pytest.raises(Exception):
         fetch_model("FlowNetC", pretrained_path=str(tmp_path))
+
+
+def test_convert_cli_msgpack_roundtrip(tmp_path):
+    """ufr-convert writes a torch-free msgpack whose fetch_model load
+    (pretrained_path=<file>) matches the direct torch-checkpoint load
+    exactly — including RAFT's batch-norm running stats."""
+    import jax
+
+    from understanding_flow_robustness_tpu.cli import convert as cvt
+
+    raft_mod = oracle.ref_module("raft.raft")
+    ref = raft_mod.RAFT(_raft_args()).eval()
+    src = tmp_path / "adv_kitti2012_raft_ifgsm_l2_0.02.pth"
+    torch.save(ref.state_dict(), src)
+    dst = str(tmp_path / "raft.msgpack")
+    out = cvt.main(["--flownet", "RAFT_adv_kitti2012_ifgsm_l2_002",
+                    "--src", str(src), "--dst", dst])
+    assert out == dst
+
+    name = "RAFT_adv_kitti2012_ifgsm_l2_002"
+    direct = fetch_model(name, pretrained_path=str(tmp_path),
+                         init_size=(128, 128), iters=2)
+    viapack = fetch_model(name, pretrained_path=dst,
+                          init_size=(128, 128), iters=2)
+    key = lambda kv: jax.tree_util.keystr(kv[0])  # noqa: E731
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(direct.variables),
+               key=key),
+        sorted(jax.tree_util.tree_leaves_with_path(viapack.variables),
+               key=key),
+    ):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    x1, x2 = _imgs(128, 128)
+    np.testing.assert_array_equal(np.asarray(direct.predict(x1, x2)),
+                                  np.asarray(viapack.predict(x1, x2)))
+
+
+def test_params_only_msgpack_load(tmp_path):
+    """A params-only export (training save_weights) restores through the
+    same fetch_model file path, keeping init batch_stats."""
+    from understanding_flow_robustness_tpu.training.checkpoint import (
+        save_weights,
+    )
+
+    m = fetch_model("FlowNetC", pretrained_path=None, init_size=(64, 64))
+    path = str(tmp_path / "w.msgpack")
+    save_weights(path, m.variables["params"])
+    m2 = fetch_model("FlowNetC", pretrained_path=path, init_size=(64, 64))
+    x1, x2 = _imgs(64, 64)
+    np.testing.assert_array_equal(np.asarray(m.predict(x1, x2)),
+                                  np.asarray(m2.predict(x1, x2)))

@@ -83,11 +83,10 @@ def main(argv=None):
 
     model = fetch_model(args.arch, pretrained_path=None, **kwargs)
     if args.model.endswith(".msgpack"):
-        from ..training.checkpoint import load_weights
+        # full-variables (ufr-convert) or params-only (training export)
+        from ..training.checkpoint import load_variables
 
-        model.variables = dict(model.variables)
-        model.variables["params"] = load_weights(
-            args.model, model.variables["params"])
+        model.variables = load_variables(args.model, model.variables)
     else:
         from ..models.registry import _merge_strict
 

@@ -215,7 +215,17 @@ def fetch_model(
     variables = jax.jit(module.init)(jax.random.PRNGKey(rng), dummy, dummy)
 
     ckpt = None
-    if pretrained_path is not None and spec.checkpoint is not None:
+    if pretrained_path is not None and os.path.isfile(pretrained_path):
+        # explicit checkpoint FILE: a flax .msgpack (ufr-convert output or
+        # a params-only training export) or a reference torch checkpoint
+        if pretrained_path.endswith(".msgpack"):
+            from ..training.checkpoint import load_variables
+
+            variables = load_variables(pretrained_path, variables)
+        else:
+            ckpt = load_checkpoint_variables(name, pretrained_path)
+    elif pretrained_path is not None and spec.checkpoint is not None:
+        # zoo DIRECTORY: the reference's per-model file name convention
         path = os.path.join(pretrained_path, spec.checkpoint)
         if os.path.exists(path):
             ckpt = load_checkpoint_variables(name, path)

@@ -62,3 +62,25 @@ def load_weights(path: str, template: Any) -> Any:
 
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
+
+
+def load_variables(path: str, variables_template: dict) -> dict:
+    """Restore a ``.msgpack`` into a FULL variables dict.
+
+    Accepts either serialization flavor: a whole variables dict (the
+    ``ufr-convert`` output — carries ``batch_stats`` running averages for
+    the BN models) or a params-only export (``save_weights``/
+    training/train.py:349-350 final weights), which leaves the template's
+    other collections (init zeros) in place.
+    """
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        return serialization.from_bytes(dict(variables_template), data)
+    except (ValueError, KeyError):
+        out = dict(variables_template)
+        out["params"] = serialization.from_bytes(
+            variables_template["params"], data)
+        return out
