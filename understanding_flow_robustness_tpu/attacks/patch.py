@@ -53,12 +53,20 @@ def init_patch_from_image(image_path: str, mask_path: str,
     from ..flowviz.io import read_image
     from ..native import resize_bilinear_u8
 
+    def _rgb(img):
+        # grayscale file -> 3 channels (the reference assumes RGB inputs,
+        # utils_patch.py:27 transposes a 3-D array; broadcasting is the
+        # graceful version of that constraint), alpha stripped
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        return img[..., :3]
+
     dim = int(np.floor(image_size * np.sqrt(patch_size)))
-    patch_img = read_image(image_path)
+    patch_img = _rgb(read_image(image_path))
     patch = resize_bilinear_u8(
         patch_img.astype(np.uint8), dim, dim
     ).astype(np.float32) / 128.0 - 1.0
-    mask_img = read_image(mask_path)
+    mask_img = _rgb(read_image(mask_path))
     mask = resize_bilinear_u8(
         mask_img.astype(np.uint8), dim, dim
     ).astype(np.float32) / 256.0

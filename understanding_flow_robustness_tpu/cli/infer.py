@@ -167,12 +167,26 @@ def main(argv=None):
         while len(buf1) < bs:   # static batch: repeat the last sample
             buf1.append(buf1[-1])
             buf2.append(buf2[-1])
-        img1 = np.stack(buf1).astype(np.float32) / 255.0
-        img2 = np.stack(buf2).astype(np.float32) / 255.0
-        img1, img2, _, _, pad = pad_batch(
-            img1, img2, None, None,
-            multiple=model.size_multiple, mode=args.pad_mode,
-        )
+        if buf1[0].dtype == np.uint8:
+            # one-pass native u8 -> [0,1] f32 + replicate pad (OpenMP;
+            # numpy fallback inside the wrapper)
+            from ..native import batch_u8_to_float01_pad
+            from ..ops.interp import compute_pad
+
+            h0, w0 = buf1[0].shape[:2]
+            t, b, l, r = compute_pad(
+                h0, w0, mode=args.pad_mode, multiple=model.size_multiple)
+            oh, ow = h0 + t + b, w0 + l + r
+            img1 = batch_u8_to_float01_pad(np.stack(buf1), oh, ow, t, l)
+            img2 = batch_u8_to_float01_pad(np.stack(buf2), oh, ow, t, l)
+            pad = (t, b, l, r)
+        else:
+            img1 = np.stack(buf1).astype(np.float32) / 255.0
+            img2 = np.stack(buf2).astype(np.float32) / 255.0
+            img1, img2, _, _, pad = pad_batch(
+                img1, img2, None, None,
+                multiple=model.size_multiple, mode=args.pad_mode,
+            )
         with ctx:
             flow = pfn(variables, jnp.asarray(img1), jnp.asarray(img2))
         flow = np.asarray(remove_pad(flow, pad))

@@ -147,8 +147,10 @@ def load_patch(args):
         from ..native import resize_bilinear_u8
 
         m_img = read_image(args.mask_path)
+        if m_img.ndim == 2:   # grayscale mask file -> 3 channels
+            m_img = np.repeat(m_img[..., None], 3, axis=-1)
         mask = resize_bilinear_u8(
-            m_img.astype(np.uint8), patch.shape[1], patch.shape[2]
+            m_img[..., :3].astype(np.uint8), patch.shape[1], patch.shape[2]
         ).astype(np.float32) / 256.0
         mask = mask[None]
     elif args.patch_type == "square":

@@ -307,7 +307,11 @@ class SparseFlowAugmentor:
         if np.random.rand() < self.spatial_aug_prob:
             img1 = _cv2_resize(img1, scale_x, scale_y)
             img2 = _cv2_resize(img2, scale_x, scale_y)
-            flow, valid = self.resize_sparse_flow_map(
+            # native scatter kernel (exact same rounding/order semantics;
+            # falls back to resize_sparse_flow_map without the toolchain)
+            from ..native import resize_sparse_flow
+
+            flow, valid = resize_sparse_flow(
                 flow, valid, fx=scale_x, fy=scale_y
             )
 

@@ -25,13 +25,18 @@ def pad_batch(img1, img2, flow, valid, multiple: int = 8, mode: str = "kitti"):
     t, b, l, r = compute_pad(h, w, mode=mode, multiple=multiple)
     if (t, b, l, r) == (0, 0, 0, 0):
         return img1, img2, flow, valid, (t, b, l, r)
-    spec = ((0, 0), (t, b), (l, r), (0, 0))
-    img1 = np.pad(img1, spec, mode="edge")
-    img2 = np.pad(img2, spec, mode="edge")
+    from ..native import batch_f32_pad
+
+    oh, ow = h + t + b, w + l + r
+    img1 = batch_f32_pad(np.asarray(img1, np.float32), oh, ow, t, l)
+    img2 = batch_f32_pad(np.asarray(img2, np.float32), oh, ow, t, l)
     if flow is not None:
-        flow = np.pad(flow, spec, mode="constant")
+        flow = batch_f32_pad(np.asarray(flow, np.float32), oh, ow, t, l,
+                             zero=True)
     if valid is not None:
-        valid = np.pad(valid, spec[:3], mode="constant")
+        valid = batch_f32_pad(
+            np.asarray(valid, np.float32)[..., None], oh, ow, t, l,
+            zero=True)[..., 0]
     return img1, img2, flow, valid, (t, b, l, r)
 
 

@@ -74,7 +74,11 @@ def load():
         _build(so)
     if not os.path.exists(so):
         return None
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        # stale/foreign cached binary: fall back to numpy, don't crash
+        return None
     i64 = ctypes.c_int64
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -117,6 +121,26 @@ def batch_u8_to_float01_pad(imgs: np.ndarray, out_h: int, out_w: int,
     return out
 
 
+def batch_f32_pad(x: np.ndarray, out_h: int, out_w: int, top: int,
+                  left: int, zero: bool = False) -> np.ndarray:
+    """(n, h, w, c) float32 -> (n, out_h, out_w, c) with replicate
+    (zero=False) or zero (zero=True) padding."""
+    n, h, w, c = x.shape
+    lib = load()
+    if lib is None:
+        mode = "constant" if zero else "edge"
+        return np.pad(
+            x, ((0, 0), (top, out_h - h - top), (left, out_w - w - left),
+                (0, 0)), mode=mode,
+        )
+    out = np.empty((n, out_h, out_w, c), np.float32)
+    lib.batch_f32_pad(
+        np.ascontiguousarray(x, np.float32), out, n, h, w, c, out_h, out_w,
+        top, left, 1 if zero else 0,
+    )
+    return out
+
+
 def resize_sparse_flow(flow: np.ndarray, valid: np.ndarray,
                        fx: float, fy: float):
     h, w = flow.shape[:2]
@@ -136,15 +160,26 @@ def resize_sparse_flow(flow: np.ndarray, valid: np.ndarray,
 
 
 def resize_bilinear_u8(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Bilinear u8 resize.  Accepts (H, W) or (H, W, C); the output keeps
+    the input's rank on BOTH the native and cv2 paths (cv2 drops a
+    singleton channel axis, the native kernel keeps it — normalize so
+    downstream shapes never depend on toolchain availability)."""
+    was_2d = img.ndim == 2
+    if was_2d:
+        img = img[..., None]
     h, w, c = img.shape
     lib = load()
     if lib is None:
         import cv2
 
-        return cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LINEAR)
-    out = np.empty((oh, ow, c), np.uint8)
-    lib.resize_bilinear_u8(np.ascontiguousarray(img), out, h, w, c, oh, ow)
-    return out
+        out = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LINEAR)
+        if out.ndim == 2:
+            out = out[..., None]
+    else:
+        out = np.empty((oh, ow, c), np.uint8)
+        lib.resize_bilinear_u8(np.ascontiguousarray(img), out, h, w, c,
+                               oh, ow)
+    return out[..., 0] if was_2d else out
 
 
 def decode_kitti_flow_u16(rgb16: np.ndarray):

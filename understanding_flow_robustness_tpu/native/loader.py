@@ -86,7 +86,12 @@ def load():
         _build(so)
     if not os.path.exists(so):
         return None
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        # stale/foreign cached binary (e.g. shared NFS cache, removed
+        # libpng): the numpy fallbacks must take over, not crash
+        return None
     i64 = ctypes.c_int64
     i64p = ctypes.POINTER(i64)
     ip = ctypes.POINTER(ctypes.c_int)
@@ -211,11 +216,18 @@ class PrefetchLoader:
                         ctypes.byref(c), ctypes.byref(dt),
                     )
                     if dt.value < 0:
-                        if self.strict:
-                            raise IOError(
-                                f"native decode failed: "
-                                f"{self.samples[idx][fi]}")
-                        out.append(None)
+                        # per-file fallback: the native decoder declines
+                        # formats PIL renders differently (palette/alpha
+                        # PNGs) and rejects corrupt files; only when the
+                        # pure-Python reader ALSO fails is the file bad
+                        try:
+                            out.append(_sync_decode(self.samples[idx][fi]))
+                        except Exception as e:
+                            if self.strict:
+                                raise IOError(
+                                    f"decode failed: "
+                                    f"{self.samples[idx][fi]}") from e
+                            out.append(None)
                         continue
                     dtype = _DTYPES[dt.value]
                     shape = (h.value, w.value) if c.value == 1 else (

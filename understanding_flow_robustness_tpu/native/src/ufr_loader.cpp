@@ -9,14 +9,26 @@
 // decode parallelism without worker processes or tensor IPC.
 //
 // Decoders (by file extension):
-//   .png          libpng: 8-bit -> u8 (gray kept 1ch, alpha stripped),
-//                 16-bit -> u16, channels in FILE order (R,G,B) — for
-//                 KITTI flow PNGs that is (u, v, valid) directly
-//                 (dataset_utils/data_utils.py:259-264 reads BGR and
-//                 reverses; file order == reversed BGR).
+//   .png          libpng: 8-bit gray/RGB -> u8, 16-bit -> u16, channels in
+//                 FILE order (R,G,B) — for KITTI flow PNGs that is
+//                 (u, v, valid) directly (dataset_utils/data_utils.py:
+//                 259-264 reads BGR and reverses; file order == reversed
+//                 BGR).  Palette/alpha/tRNS/sub-8-bit PNGs are declined
+//                 (return false) so the caller's PIL fallback handles them
+//                 — np.array(Image.open(...)) keeps the palette index map
+//                 and the alpha channel, and the fast path must be
+//                 bit-exact with that reference convention
+//                 (data_utils.py:22-23), not silently different.
 //   .jpg/.jpeg    libjpeg: u8 RGB.
-//   .flo          Middlebury: magic 202021.25, int32 w,h, f32 (h,w,2).
+//   .flo          Middlebury: magic 202021.25, int32 w,h, f32 (h,w,2)
+//                 (little-endian payload; the decoder assumes an LE host,
+//                 like every other x86/ARM consumer of the format).
 //   .ppm/.pgm     binary netpbm (P5/P6 maxval<=255): u8.
+//
+// Every decoder validates header dimensions against a hard size cap
+// before allocating, and the worker threads catch exceptions — a corrupt
+// or adversarial file must surface as a per-file decode failure (the
+// Python side falls back to PIL or raises), never kill the process.
 //
 // API is C, bound via ctypes (no pybind11 in this environment).
 
@@ -46,6 +58,16 @@ struct Decoded {
   int64_t h = 0, w = 0, c = 0;
   int dtype = -1;  // 0=u8, 1=f32, 2=u16; -1 = decode error
 };
+
+// Hard cap on any decoded image: 1 GiB of pixel data / 2^20 per side.
+// Header dimensions are untrusted input; allocating from them unchecked
+// lets one corrupt file OOM (or bad_alloc-terminate) the process.
+bool dims_ok(int64_t w, int64_t h, int64_t c, int64_t itemsize) {
+  const int64_t side_cap = int64_t(1) << 20;
+  const int64_t byte_cap = int64_t(1) << 30;
+  if (w <= 0 || h <= 0 || c <= 0 || w > side_cap || h > side_cap) return false;
+  return w * h <= byte_cap / (c * itemsize);
+}
 
 bool ends_with(const std::string& s, const char* suf) {
   size_t n = strlen(suf);
@@ -88,11 +110,21 @@ bool decode_png(const char* path, Decoded* out) {
   int depth = png_get_bit_depth(png, info);
   int ctype = png_get_color_type(png, info);
 
-  if (ctype == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
-  if (ctype == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
-  png_set_strip_alpha(png);          // match cv2/PIL RGB reads
+  // Decline anything np.array(Image.open(...)) would NOT render as a
+  // plain gray/RGB u8/u16 array (palette index maps, alpha channels,
+  // sub-8-bit gray): the caller falls back to PIL, keeping the fast path
+  // bit-exact with the reference's read convention (data_utils.py:22-23).
+  if (ctype == PNG_COLOR_TYPE_PALETTE || depth < 8 ||
+      (ctype & PNG_COLOR_MASK_ALPHA) ||
+      png_get_valid(png, info, PNG_INFO_tRNS) ||
+      !dims_ok(w, h, 4, depth == 16 ? 2 : 1)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return false;
+  }
+#if !defined(__BYTE_ORDER__) || (__BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__)
   if (depth == 16) png_set_swap(png);  // network order -> host LE u16
+#endif
   png_read_update_info(png, info);
 
   depth = png_get_bit_depth(png, info);
@@ -140,6 +172,12 @@ bool decode_jpeg(const char* path, Decoded* out) {
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = cinfo.num_components == 1 ? JCS_GRAYSCALE : JCS_RGB;
   jpeg_start_decompress(&cinfo);
+  if (!dims_ok(cinfo.output_width, cinfo.output_height,
+               cinfo.output_components, 1)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(fp);
+    return false;
+  }
   out->h = cinfo.output_height;
   out->w = cinfo.output_width;
   out->c = cinfo.output_components;
@@ -163,8 +201,8 @@ bool decode_flo(const char* path, Decoded* out) {
   float magic = 0.f;
   int32_t w = 0, h = 0;
   bool ok = fread(&magic, 4, 1, fp) == 1 && magic == 202021.25f &&
-            fread(&w, 4, 1, fp) == 1 && fread(&h, 4, 1, fp) == 1 && w > 0 &&
-            h > 0;
+            fread(&w, 4, 1, fp) == 1 && fread(&h, 4, 1, fp) == 1 &&
+            dims_ok(w, h, 2, 4);
   if (ok) {
     out->h = h;
     out->w = w;
@@ -196,10 +234,16 @@ bool decode_pnm(const char* path, Decoded* out) {
     } else if (ch >= '0' && ch <= '9') {
       long v = ch - '0';
       while ((ch = fgetc(fp)) >= '0' && ch <= '9') v = v * 10 + (ch - '0');
+      // the digit run's terminator may itself be a '#': push it back so
+      // the outer loop sees the comment (else digits INSIDE the comment
+      // would be parsed as the next header field).  A WHITESPACE
+      // terminator stays consumed — netpbm ends the header with exactly
+      // one whitespace byte, so pushing it back would shift the payload.
+      if (ch == '#') ungetc(ch, fp);
       *fields[fi++] = v;
     }
   }
-  bool ok = c && fi == 3 && w > 0 && h > 0 && maxv > 0 && maxv < 256;
+  bool ok = c && fi == 3 && dims_ok(w, h, c, 1) && maxv > 0 && maxv < 256;
   if (ok) {
     out->h = h;
     out->w = w;
@@ -221,6 +265,21 @@ bool decode_any(const std::string& path, Decoded* out) {
   if (ends_with(path, ".ppm") || ends_with(path, ".pgm"))
     return decode_pnm(path.c_str(), out);
   return false;
+}
+
+// Exception-safe wrapper: decoders set shape fields before the payload
+// read can still fail, so a false return (or a throw) must reset *out to
+// the error state — otherwise a truncated file would be yielded as a
+// valid array with a zero tail.
+bool decode_safe(const std::string& path, Decoded* out) {
+  bool ok = false;
+  try {
+    ok = decode_any(path, out);
+  } catch (...) {
+    ok = false;
+  }
+  if (!ok) *out = Decoded();
+  return ok;
 }
 
 // ------------------------------------------------------------ prefetcher
@@ -247,7 +306,7 @@ struct Loader {
       if (job >= n_samples) return;
       std::vector<Decoded> sample(files_per_sample);
       for (int f = 0; f < files_per_sample; ++f)
-        decode_any(paths[job * files_per_sample + f], &sample[f]);
+        decode_safe(paths[job * files_per_sample + f], &sample[f]);
       std::unique_lock<std::mutex> lk(mu);
       // bound memory: don't run more than queue_cap samples ahead of head
       cv_space.wait(lk, [&] {
@@ -341,7 +400,7 @@ void ufr_loader_destroy(void* h) {
 int ufr_decode_file(const char* path, void** data, int64_t* hh, int64_t* ww,
                     int64_t* cc, int* dtype) {
   Decoded d;
-  if (!decode_any(path, &d) || d.dtype < 0) return 1;
+  if (!decode_safe(path, &d) || d.dtype < 0) return 1;
   void* buf = malloc(d.bytes.size());
   if (!buf) return 1;
   memcpy(buf, d.bytes.data(), d.bytes.size());

@@ -6,7 +6,9 @@
 // resize) runs as OpenMP C++ reached via ctypes — keeping the TPU fed
 // without Python-loop overhead in the input pipeline.
 //
-// Build: setup/build_native.sh  (g++ -O3 -march=native -fopenmp -shared)
+// Build: auto-built on first use by native/__init__.py into a hash-keyed
+// cache (portable flags, no -march=native); setup/build_native.sh warms
+// that cache ahead of time.
 
 #include <algorithm>
 #include <cmath>
