@@ -211,3 +211,21 @@ def test_universal_perturbation_accumulates():
     assert n0.shape == img_shape
     assert np.abs(n0).max() <= 0.05 + 1e-6
     assert np.abs(n0).max() > 0  # something was learned
+
+
+def test_compute_l1_nan_semantics_matches_torch():
+    """compute_l1 means over NON-NaN elements (perturb_model.py:93), not
+    zero-filled ones."""
+    gt = RNG.randn(1, 8, 12, 3).astype(np.float32)
+    gt[..., 2] = 1.0
+    gt[0, :3, :5, 0] = np.nan   # sparse-GT NaNs like the reference's KITTI
+    pred = RNG.randn(1, 8, 12, 2).astype(np.float32)
+    ours = float(attacks.compute_l1(jnp.asarray(gt), jnp.asarray(pred)))
+
+    gt_t = torch.from_numpy(np.transpose(gt, (0, 3, 1, 2)))
+    pred_t = torch.from_numpy(np.transpose(pred, (0, 3, 1, 2)))
+    i_loss = (pred_t - gt_t[:, :2]).abs()
+    l1 = torch.mean(i_loss[~torch.isnan(i_loss)])
+    valid = gt_t[:, 2]
+    ref = float((l1 * valid).sum() / (valid.sum() + 1e-8))
+    assert abs(ours - ref) < 1e-5

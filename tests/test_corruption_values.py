@@ -184,24 +184,31 @@ def test_motion_blur_matches_pip_composition(fork, severity):
     np.testing.assert_allclose(ours, ref, atol=1e-3)
 
 
-def test_snow_matches_pip_composition(fork):
-    # severity 2: zoom factor 2 divides 64x96 exactly, so pip's raw zoomed
-    # layer is exactly (h, w) and our crop/pad bookkeeping is a no-op
-    severity = 2
-    c = (0.2, 0.3, 2, 0.5, 12, 4, 0.7)
+@pytest.mark.parametrize("severity", [2, 4])
+def test_snow_matches_pip_composition(fork, severity):
+    c = [
+        (0.1, 0.3, 3, 0.5, 10, 4, 0.8),
+        (0.2, 0.3, 2, 0.5, 12, 4, 0.7),
+        (0.55, 0.3, 4, 0.9, 12, 8, 0.7),
+        (0.55, 0.3, 4.5, 0.85, 12, 8, 0.65),
+        (0.55, 0.3, 2.5, 0.85, 12, 12, 0.55),
+    ][severity - 1]
     img = _img(64, 96, seed=9)
     np.random.seed(17)
     ours = C.snow(img, severity)
 
+    # pip 1.1.2 composition: threshold/clip the zoomed layer, blur the
+    # FULL layer, round it to uint8 steps, crop to the image dims
     np.random.seed(17)
     x = np.asarray(img, np.float32) / 255.0
     layer = np.random.normal(size=x.shape[:2], loc=c[0], scale=c[1])
     layer = fork.clipped_zoom(layer[..., None], c[2]).squeeze()
-    assert layer.shape == x.shape[:2]
     layer[layer < c[3]] = 0
     layer = np.clip(layer, 0, 1)
     angle = np.random.uniform(-135, -45)
-    layer = _pip_directional_blur(fork, layer, c[4], c[5], angle)[..., None]
+    layer = _pip_directional_blur(fork, layer, c[4], c[5], angle)
+    layer = np.round(layer * 255.0).astype(np.uint8) / 255.0
+    layer = layer[: x.shape[0], : x.shape[1]][..., None]
     ref = c[6] * x + (1 - c[6]) * np.maximum(
         x, C.rgb2gray(x)[..., None] * 1.5 + 0.5
     )
@@ -310,6 +317,21 @@ def test_pixelate_block_structure():
     assert (blocks == blocks[:, :1, :, :1, :]).all()
     const = np.full((16, 16, 3), 137, np.uint8)
     np.testing.assert_array_equal(C.pixelate(const, 3), const)
+
+
+@pytest.mark.parametrize("severity", [1, 3, 5])
+def test_pixelate_matches_pil_composition(severity):
+    """pip 1.1.2 pixelate IS PIL BOX-down + NEAREST-up; cv2's NEAREST
+    maps dst->src differently (whole-block grid shift)."""
+    from PIL import Image
+
+    img = _img(50, 70, seed=severity)
+    ours = C.pixelate(img, severity)
+    c = [0.6, 0.5, 0.4, 0.3, 0.25][severity - 1]
+    ref = Image.fromarray(np.asarray(img, np.uint8))
+    ref = ref.resize((int(70 * c), int(50 * c)), Image.BOX)
+    ref = np.asarray(ref.resize((70, 50), Image.NEAREST))
+    np.testing.assert_array_equal(ours, ref.astype(np.float64))
 
 
 def test_jpeg_compression_sanity():

@@ -198,3 +198,87 @@ def test_validate_disparity_branch(tmp_path):
     assert res["disparity_d1_attacked"][0] >= res["disparity_d1_unattacked"][0]
     assert res["disparity_rmse_attacked"][0] > res["disparity_rmse_unattacked"][0]
     assert (tmp_path / "results0.txt").exists()
+
+    # D1 is reported in PERCENT (reference log_utils.py:351-355 multiplies
+    # by 100 before aggregating)
+    from understanding_flow_robustness_tpu.attacks.eval_utils import d1_error
+
+    mask = np.logical_and(gt > 0.0, ~np.isnan(gt))
+    direct = float(d1_error(output[mask], gt[mask]))
+    np.testing.assert_allclose(
+        res["disparity_d1_attacked"][0], direct * 100.0, rtol=1e-6)
+
+
+def test_build_arbitrary_gt_uniform_matches_torch_nearest():
+    """'uniform_N' upsamples with torch-nearest semantics
+    (perturb_main.py:358-363), exact for non-divisor factors too."""
+    import torch
+    import torch.nn.functional as F
+
+    from understanding_flow_robustness_tpu.attacks.perturb_runner import (
+        build_arbitrary_gt,
+    )
+
+    H, W, factor = 50, 70, 16   # 16 divides neither 50 nor 70
+    rng = np.random.RandomState(3)
+    helper = np.zeros((H, W, 3), np.float32)
+    gt = build_arbitrary_gt(f"uniform_{factor}", helper, rng)
+    assert gt.shape == (H, W, 3) and (gt[..., 2] == 1).all()
+
+    rng2 = np.random.RandomState(3)
+    small = rng2.uniform(-180, 180, (H // factor, W // factor, 3)).astype(
+        np.float32)
+    ref = F.interpolate(
+        torch.from_numpy(small.transpose(2, 0, 1))[None],
+        size=(H, W), mode="nearest",
+    )[0].numpy().transpose(1, 2, 0)
+    ref[..., 2] = 1
+    np.testing.assert_array_equal(gt, ref)
+
+
+def test_perturb_runner_homogeneous_single_sample(tmp_path):
+    """--homogeneous evaluates exactly ONE sample (perturb_main.py:777)."""
+    import jax.numpy as jnp
+
+    from understanding_flow_robustness_tpu.attacks.perturb_runner import (
+        RunConfig,
+        run,
+    )
+    from understanding_flow_robustness_tpu.attacks.global_attacks import (
+        PerturbConfig,
+    )
+
+    def predict(a, b):
+        return (a - b)[..., :2] * 3.0
+
+    rng = np.random.RandomState(0)
+
+    def samples():
+        for _ in range(3):
+            img = rng.rand(1, 16, 24, 3).astype(np.float32)
+            gt = np.concatenate(
+                [rng.randn(1, 16, 24, 2), np.ones((1, 16, 24, 1))], -1
+            ).astype(np.float32)
+            yield img, img.copy(), gt, gt
+
+    cfg = RunConfig(perturb=PerturbConfig(perturb_method="ifgsm", n_step=2),
+                    output_path=str(tmp_path / "homog"), homogeneous=True)
+    run(predict, samples(), cfg)
+    logf = tmp_path / "homog" / "log0.txt"
+    assert sum(1 for line in open(logf) if "epe" in line) == 1
+
+
+def test_perturb_runner_invalid_method_raises(tmp_path):
+    from understanding_flow_robustness_tpu.attacks.perturb_runner import (
+        RunConfig,
+        run,
+    )
+    from understanding_flow_robustness_tpu.attacks.global_attacks import (
+        PerturbConfig,
+    )
+
+    cfg = RunConfig(perturb=PerturbConfig(perturb_method="ifsgm"),
+                    output_path=str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="Invalid perturbation method"):
+        run(lambda a, b: a[..., :2], iter(()), cfg)
+    assert not (tmp_path / "nope").exists()

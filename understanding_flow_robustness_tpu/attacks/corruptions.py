@@ -386,21 +386,23 @@ def snow(x, severity=1):
     x = np.asarray(x, np.float32) / 255.0
     h, w = x.shape[:2]
     layer = np.random.normal(size=(h, w), loc=c[0], scale=c[1])
-    # pip 1.1.2 thresholds/blurs the raw zoomed layer and patches size
-    # mismatches with a ValueError fallback; we crop/pad to (h, w) up
-    # front — same numerics away from the last row/col (documented
-    # divergence in the module docstring's terms: edge bookkeeping only)
-    layer = clipped_zoom(layer[..., None], c[2]).squeeze()[:h, :w]
-    if layer.shape != (h, w):
-        layer = np.pad(layer, ((0, h - layer.shape[0]),
-                               (0, w - layer.shape[1])), mode="edge")
+    layer = clipped_zoom(layer[..., None], c[2]).squeeze()
     layer[layer < c[3]] = 0
     layer = np.clip(layer, 0, 1)
 
     angle = np.random.uniform(-135, -45)
-    layer = _directional_blur(layer, c[4], c[5], angle)[..., None].astype(
-        np.float32
-    )
+    # pip 1.1.2 order: blur the FULL zoomed layer, round it to uint8
+    # steps ("the snow layer is rounded and cropped to the img dims"),
+    # THEN crop; cropping first would blend different replicated columns
+    # within a streak length of the right edge, and skipping the rounding
+    # shifts final uint8 pixels by 1
+    layer = _directional_blur(layer, c[4], c[5], angle)
+    layer = np.round(layer * 255.0).astype(np.uint8) / 255.0
+    layer = layer[:h, :w]
+    if layer.shape != (h, w):   # clipped_zoom off-by-one (pip's fallback)
+        layer = np.pad(layer, ((0, h - layer.shape[0]),
+                               (0, w - layer.shape[1])), mode="edge")
+    layer = layer[..., None]
 
     x = c[6] * x + (1 - c[6]) * np.maximum(
         x, rgb2gray(x)[..., None] * 1.5 + 0.5
@@ -476,16 +478,18 @@ def elastic_transform(x, severity=1):
 
 
 def pixelate(x, severity=1):
-    import cv2
+    # pip 1.1.2 uses PIL Image.BOX down + Image.NEAREST up; cv2's
+    # INTER_NEAREST maps dst->src indices differently (shifts the
+    # pixelation grid by whole blocks — measured 92% of pixels differing
+    # at severity 5), so PIL is required for value parity
+    from PIL import Image
 
     c = [0.6, 0.5, 0.4, 0.3, 0.25][severity - 1]
-    x = np.asarray(x, np.uint8)
-    h, w = x.shape[:2]
-    small = cv2.resize(x, (int(w * c), int(h * c)),
-                       interpolation=cv2.INTER_AREA)
-    return cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST).astype(
-        np.float64
-    )
+    img = Image.fromarray(np.asarray(x, np.uint8))
+    w, h = img.size
+    img = img.resize((int(w * c), int(h * c)), Image.BOX)
+    img = img.resize((w, h), Image.NEAREST)
+    return np.asarray(img).astype(np.float64)
 
 
 def jpeg_compression(x, severity=1):
@@ -588,12 +592,17 @@ def corrupt_pair(image0_01: np.ndarray, image1_01: np.ndarray,
     frames.  Returns float [0,1] arrays."""
 
     def apply(im01, idx):
-        img = np.uint8(np.clip(im01[0] * 255.0, 0, 255))
+        # per batch element (the reference only ever sees batch 1,
+        # perturb_main.py:189; the mesh runner feeds B > 1)
         kwargs = {}
         if corruption_name == "frost" and idx is not None:
             kwargs["idx"] = idx
-        out = corrupt(img, corruption_name, severity, **kwargs)
-        return (out.astype(np.float32) / 255.0)[None]
+        outs = []
+        for b in range(im01.shape[0]):
+            img = np.uint8(np.clip(im01[b] * 255.0, 0, 255))
+            out = corrupt(img, corruption_name, severity, **kwargs)
+            outs.append(out.astype(np.float32) / 255.0)
+        return np.stack(outs)
 
     if mode == "same" and corruption_name == "frost":
         # perturb_model.py:393 draws randint(5) (textures 0-4 only); a

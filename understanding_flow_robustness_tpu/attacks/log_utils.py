@@ -148,6 +148,11 @@ def validate(
         cols["flow_l1_unattacked"][i] = float(compute_l1(gt_j, origin_j))
         cols["flow_l1_attacked"][i] = float(compute_l1(gt_j, output_j))
 
+    # D1 is reported in PERCENT (log_utils.py:351-355 multiplies by 100
+    # before aggregating); everything else stays in natural units
+    for k in ("disparity_d1_unattacked", "disparity_d1_attacked"):
+        if k in cols:
+            cols[k] = cols[k] * 100.0
     results = {k: (float(v.mean()), float(v.std())) for k, v in cols.items()}
 
     if output_path is not None:

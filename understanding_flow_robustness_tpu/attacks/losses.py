@@ -62,7 +62,11 @@ def compute_l1(gt: Array, pred: Array) -> Array:
     """global_attacks/perturb_model.py:85-99."""
     pred = _upsample_pred(gt, pred)
     l1 = jnp.abs(pred - gt[..., :2])
-    l1_mean = jnp.mean(jnp.where(jnp.isnan(l1), 0.0, l1))
+    # mean over NON-NaN elements only (perturb_model.py:93 indexes with
+    # ~isnan); zero-filling before the mean would underestimate by the
+    # NaN fraction.  All-NaN input -> 0/0 = NaN, like torch.mean(empty).
+    notnan = ~jnp.isnan(l1)
+    l1_mean = jnp.sum(jnp.where(notnan, l1, 0.0)) / jnp.sum(notnan)
     if gt.shape[-1] == 3:
         valid = gt[..., 2]
         return jnp.sum(l1_mean * valid) / (jnp.sum(valid) + EPSILON)

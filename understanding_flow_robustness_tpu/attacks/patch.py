@@ -165,8 +165,12 @@ def create_correlated_patch(patch_type: str, patch_size: int) -> np.ndarray:
         patch = np.zeros((n, n, 3))
         sin_offset = 5 * np.sin(2 * np.pi * np.arange(n) / (0.25 * n)) + 5
         for strip in range(0, n, 2 * t):
-            green = np.random.randint(1, 2)
-            patch[strip : strip + green, :, :] = 1
+            # the reference draws an always-true gate THEN the width
+            # (utils_patch.py:201-203); both draws must happen to keep
+            # the global np.random stream aligned for seeded parity
+            if np.random.randint(0, 2) >= 0:
+                green = np.random.randint(1, 2)
+                patch[strip : strip + green, :, :] = 1
             for i, y in enumerate(sin_offset):
                 y = int(y)
                 if y + strip > n:

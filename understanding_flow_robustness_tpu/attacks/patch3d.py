@@ -61,11 +61,13 @@ def project_patch_3d_scene(
     f_x = calib["cam"]["focal_length_x"]
     f_y = calib["cam"]["focal_length_y"]
     depth = f_x * calib["cam"]["baseline"] / max(disparity, 1e-6)
-    p_cam0 = np.array([
-        depth * (random_x - calib["cam"]["cx"]) / f_x,
-        depth * (random_y - calib["cam"]["cy"]) / f_y,
-        depth, 1.0,
-    ])
+    # the reference anchors the patch plane at WHOLE-METER coordinates:
+    # utils_patch.py:900 builds p_cam0 as an int64 array and the float
+    # X/Y/Z assignments truncate toward zero — mirror that quirk exactly
+    p_cam0 = np.array([0, 0, 0, 1], dtype=np.int64)
+    p_cam0[0] = depth * (random_x - calib["cam"]["cx"]) / f_x
+    p_cam0[1] = depth * (random_y - calib["cam"]["cy"]) / f_y
+    p_cam0[2] = depth
     T_p_cam0 = np.eye(4)
     T_p_cam0[:4, 3] = p_cam0
 

@@ -53,7 +53,10 @@ def _write_evolution_gifs(path: str, tr0: np.ndarray, tr1: np.ndarray):
         frames[0].save(
             os.path.join(path, f"viz{ctr}_{suffix}.gif"), save_all=True,
             append_images=frames[1:],
-            duration=max(int(20 / max(tr.shape[0], 1)), 1), loop=0,
+            # reference: imageio duration=20/n_step SECONDS per frame
+            # (perturb_model.py:610-614); PIL's duration is milliseconds
+            duration=max(int(20.0 / max(tr.shape[0], 1) * 1000.0), 1),
+            loop=0,
         )
 
 
@@ -122,14 +125,18 @@ def build_arbitrary_gt(kind: str, helper_gt: np.ndarray,
         return gt
     if kind.startswith("uniform"):
         factor = int(kind[kind.rfind("_") + 1 :])
+        hs, ws = H // factor, W // factor
         small = rng.uniform(
-            -180, 180, (H // factor, W // factor, helper_gt.shape[2])
+            -180, 180, (hs, ws, helper_gt.shape[2])
         ).astype(np.float32)
-        gt = np.repeat(np.repeat(small, factor, axis=0), factor, axis=1)
-        gt = gt[:H, :W]
-        if gt.shape[:2] != (H, W):
-            gt = np.pad(gt, ((0, H - gt.shape[0]), (0, W - gt.shape[1]),
-                             (0, 0)), mode="edge")
+        # torch F.interpolate(mode="nearest") to the FULL size
+        # (perturb_main.py:358-363): src index = floor(dst * in / out) —
+        # identical to block-repeat when factor divides H/W, evenly
+        # spread otherwise (repeat + edge-pad would bunch the remainder
+        # into one bottom/right band)
+        iy = np.arange(H) * hs // H
+        ix = np.arange(W) * ws // W
+        gt = small[iy][:, ix]
         gt[..., 2] = 1
         return gt
     raise ValueError(kind)
@@ -154,16 +161,20 @@ def run(
     multiple of the mesh size.  Per-sample metrics/logging are unchanged:
     every batch entry is logged individually.
     """
-    os.makedirs(cfg.output_path, exist_ok=True)
-    seed = log_utils.find_unused_seed_results(cfg.output_path, cfg.seed)
-    paths = log_utils.create_write_folder_structure(cfg.output_path)
-    logf = os.path.join(cfg.output_path, f"log{seed}.txt")
-
     method = cfg.perturb.perturb_method
     is_corruption = method in get_corruption_names("all")
     attack = None
     whitebox = method in ("fgsm", "fgm", "ifgsm", "ifgm", "mifgsm", "mifgm",
                           "gaussian", "uniform", "none")
+    if not whitebox and not is_corruption:
+        # fail BEFORE creating output dirs, with the reference's explicit
+        # dispatch error (perturb_model.py:270-272)
+        raise ValueError(f"Invalid perturbation method: {method}")
+
+    os.makedirs(cfg.output_path, exist_ok=True)
+    seed = log_utils.find_unused_seed_results(cfg.output_path, cfg.seed)
+    paths = log_utils.create_write_folder_structure(cfg.output_path)
+    logf = os.path.join(cfg.output_path, f"log{seed}.txt")
     if mesh is not None:
         if predict_fn is None or variables is None:
             raise ValueError("mesh mode needs predict_fn + variables")
@@ -311,6 +322,11 @@ def run(
                 f"[{j}] epe {epe_before:.3f} -> {epe_after:.3f}", logf,
                 to_console=False,
             )
+
+        if cfg.homogeneous:
+            # the homogeneous experiment evaluates exactly ONE sample
+            # (perturb_main.py:777-778 breaks after the first iteration)
+            break
 
     n = max(len(outputs), 1)
     per_frame = (time.time() - t_start) / n

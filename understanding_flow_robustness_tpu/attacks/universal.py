@@ -39,7 +39,15 @@ class UniversalConfig:
 def make_universal_attack_step(predict: Callable, cfg: UniversalConfig):
     """Jitted inner attack: (img0, img1, noise0, noise1, target) ->
     (adv0, adv1, new_noise0, new_noise1)."""
+    # reference dispatch (universal_perturbation.py:477-500): substring
+    # match — so e.g. "mifgsm" runs the sign path there too — exact
+    # "ifgm" for raw gradients, anything else rejected
     use_sign = "ifgsm" in cfg.perturb_method
+    if not use_sign and cfg.perturb_method != "ifgm":
+        raise NotImplementedError(
+            f"universal perturbation method: {cfg.perturb_method}")
+    if cfg.perturb_mode not in ("both", "left", "right"):
+        raise ValueError(f"Invalid perturbation mode: {cfg.perturb_mode}")
     m0 = 0.0 if cfg.perturb_mode == "right" else 1.0
     m1 = 0.0 if cfg.perturb_mode == "left" else 1.0
     descent = not cfg.add_gaussian
