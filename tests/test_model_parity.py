@@ -315,3 +315,26 @@ def test_raft_spatial_corr_parity():
         test_mode=True,
     )
     assert _max_err(flow_up, oracle.nhwc(flow_up_ref)) < 1e-3
+
+
+def test_raft_feature_taps_compact_on_tpu():
+    """return_features exposes the documented COMPACT lookup layout
+    (B, H/8, W/8, L*(2r+1)^2) for idx_corr_vol_{i} on every backend —
+    the padded lane-stacked TPU fast path must not leak into the taps
+    (its live junk hat channels would silently corrupt embedding/
+    replacement analyses)."""
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU backend (taps are compact on CPU "
+                    "by construction)")
+    from understanding_flow_robustness_tpu.models import fetch_model
+
+    m = fetch_model("RAFT", pretrained_path=None, init_size=(64, 64),
+                    iters=2, return_features=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3)
+                    .astype(np.float32))
+    out = m.module.apply(m.variables, x * 255.0, x * 255.0, test_mode=True)
+    feats = out[-1]
+    corr = feats["idx_corr_vol_0"]
+    assert corr.shape[-1] == 4 * 9 * 9, corr.shape

@@ -61,3 +61,42 @@ def test_predict_program_keeps_variables_as_arguments():
     text_mb = len(lowered.as_text()) / 1e6
     # 39M f32 params would be ~300 MB of hex literals if inlined
     assert text_mb < 10, f"predict program is {text_mb:.1f} MB of HLO"
+
+
+def test_raft_batch_pad_encoders_value_identity():
+    """The small-batch encoder tiling knob (raft_model.py::batched — pads
+    batch < 8 to dodge XLA's slow small-batch conv strategy, measured 3x
+    on v5e) must be value-identical to the plain path: instance/batch
+    norms are per-sample, so tiling + slicing changes nothing."""
+    import jax.numpy as jnp
+
+    from understanding_flow_robustness_tpu.models import fetch_model
+
+    rng = np.random.RandomState(0)
+    x1 = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    plain = fetch_model("RAFT", pretrained_path=None, init_size=(64, 64),
+                        iters=2, return_features=True)
+    padded = fetch_model("RAFT", pretrained_path=None, init_size=(64, 64),
+                         iters=2, batch_pad_encoders=True,
+                         return_features=True)
+    # compare the ENCODER outputs (the tiled computation): the end-to-end
+    # flow of a random-weight RAFT chaotically amplifies the ~1e-6 conv
+    # reassociation difference XLA's different batch tilings introduce
+    _, _, fa = plain.module.apply(plain.variables, x1 * 255.0, x2 * 255.0,
+                                  test_mode=True)
+    _, _, fb = padded.module.apply(plain.variables, x1 * 255.0, x2 * 255.0,
+                                   test_mode=True)
+    for k in ("fmap1", "fmap2", "net", "inp"):
+        np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
+                                   atol=2e-5)
+
+
+def test_adv_raft_mixed_precision_override():
+    """Every spec accepts caller kwargs over its defaults — including the
+    adversarial RAFT's pinned mixed_precision=False."""
+    from understanding_flow_robustness_tpu.models import fetch_model
+
+    m = fetch_model("RAFT_adv_kitti2012_ifgsm_l2_002", pretrained_path=None,
+                    init_size=(64, 64), iters=1, mixed_precision=True)
+    assert m.module.mixed_precision is True

@@ -164,7 +164,7 @@ def test_auto_sampler_corrects_few_violations(padding_mode):
         warp_tiled_violation_plan,
     )
 
-    _, tile_counts, viol = warp_tiled_violation_plan(
+    _, tile_counts, viol, _ = warp_tiled_violation_plan(
         img.shape, csy, csx, ry=16, rx=16,
         zeros_mode=padding_mode == "zeros",
     )

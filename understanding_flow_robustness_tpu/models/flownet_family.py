@@ -176,8 +176,12 @@ class FlowNetC(nn.Module):
         out_conv2b = conv2(out_conv1b)
         out_conv3b = conv3(out_conv2b)
 
-        out_conv3a = _maybe(overrides, "conv3a", out_conv3a)
-        out_conv3b = _maybe(overrides, "conv3b", out_conv3b)
+        # conv3a/conv3b are replaced only when BOTH keys are present
+        # (FlowNetC.py:121-130 requires the pair; a singleton is a no-op)
+        if overrides is not None and "conv3a" in overrides \
+                and "conv3b" in overrides:
+            out_conv3a = overrides["conv3a"].astype(out_conv3a.dtype)
+            out_conv3b = overrides["conv3b"].astype(out_conv3b.dtype)
 
         out_corr = correlate_flownetc(out_conv3a, out_conv3b)
         feats = {
@@ -316,8 +320,12 @@ class FlowNetCFlex(nn.Module):
         out_conv2b = run(convs2, out_conv1b)
         out_conv3b = run(convs3, out_conv2b)
 
-        out_conv3a = _maybe(overrides, "conv3a", out_conv3a)
-        out_conv3b = _maybe(overrides, "conv3b", out_conv3b)
+        # conv3a/conv3b are replaced only when BOTH keys are present
+        # (FlowNetC.py:121-130 requires the pair; a singleton is a no-op)
+        if overrides is not None and "conv3a" in overrides \
+                and "conv3b" in overrides:
+            out_conv3a = overrides["conv3a"].astype(out_conv3a.dtype)
+            out_conv3b = overrides["conv3b"].astype(out_conv3b.dtype)
 
         out_conv_redir = ConvBlock(32, 1, 1, name="conv_redir", **conv_kw)(
             out_conv3a

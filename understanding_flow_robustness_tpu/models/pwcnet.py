@@ -100,6 +100,11 @@ class PWCNet(nn.Module):
         c2 = pyramid(im2)
 
         feats_out = {}
+        # pyramid taps, interleaved like the reference capture order
+        # (PWCNet.py:236-271: c11, c21, c12, c22, ..., c16, c26)
+        for i in range(6):
+            feats_out[f"c1{i + 1}"] = c1[i]
+            feats_out[f"c2{i + 1}"] = c2[i]
         flows = {}
 
         def dense_decoder(x, lvl):
@@ -113,11 +118,13 @@ class PWCNet(nn.Module):
                 srcs = (jnp.concatenate(srcs, axis=-1),)
             for i, feat in enumerate([128, 128, 96, 64, 32]):
                 y = conv(feat, f"conv{lvl}_{i}")(srcs)
+                feats_out[f"conv{lvl}_{i}"] = y
                 srcs = (y,) + srcs
                 if not self.split_decoder and len(srcs) > 1:
                     srcs = (jnp.concatenate(srcs, axis=-1),)
             flow = TorchConv(2, 3, 1, dtype=head_dt,
                              name=f"predict_flow{lvl}")(srcs)
+            feats_out[f"predict_flow{lvl}"] = flow
             return srcs, flow
 
         # level 6 (coarsest)
@@ -126,6 +133,7 @@ class PWCNet(nn.Module):
         x, flow6 = dense_decoder(leaky_relu(corr6), 6)
         up_flow = deconv(2, "deconv6", dtype=head_dt)(flow6)
         up_feat = deconv(2, "upfeat6")(x)
+        feats_out["deconv6"], feats_out["upfeat6"] = up_flow, up_feat
         flows[6] = flow6
 
         for lvl in (5, 4, 3, 2):
@@ -134,7 +142,13 @@ class PWCNet(nn.Module):
                 c2[i], up_flow * _WARP_SCALE[lvl], mode="zeros_mask"
             )
             corr = correlate_pwc(c1[i], warped)
-            feats_out[f"corr{lvl}"] = corr
+            if lvl == 2:
+                # reference quirk: the capture at the corr2 site appends
+                # corr5 AGAIN (PWCNet.py:336 'return_feat_maps.append(
+                # corr5.clone())'), so the exposed 'corr2' tensor is corr5
+                feats_out["corr2"] = feats_out["corr5"]
+            else:
+                feats_out[f"corr{lvl}"] = corr
             corr = leaky_relu(corr)
             # barrier: see models/flownet2.py::_stage_input (XLA otherwise
             # duplicates the warp/corr glue across decoder conv fusions)
@@ -146,16 +160,25 @@ class PWCNet(nn.Module):
             if lvl > 2:
                 up_flow = deconv(2, f"deconv{lvl}", dtype=head_dt)(flow)
                 up_feat = deconv(2, f"upfeat{lvl}")(x)
+                feats_out[f"deconv{lvl}"] = up_flow
+                feats_out[f"upfeat{lvl}"] = up_feat
 
         # context network (models/PWCNet.py:145-154, dilations 1..16)
         y = conv(128, "dc_conv1")(x)
+        feats_out["dc_conv1"] = y
         y = conv(128, "dc_conv2", dilation=2)(y)
+        feats_out["dc_conv2"] = y
         y = conv(128, "dc_conv3", dilation=4)(y)
+        feats_out["dc_conv3"] = y
         y = conv(96, "dc_conv4", dilation=8)(y)
+        feats_out["dc_conv4"] = y
         y = conv(64, "dc_conv5", dilation=16)(y)
+        feats_out["dc_conv5"] = y
         y = conv(32, "dc_conv6")(y)
-        flows[2] = flows[2] + TorchConv(
-            2, 3, 1, dtype=head_dt, name="dc_conv7")(y)
+        feats_out["dc_conv6"] = y
+        residual = TorchConv(2, 3, 1, dtype=head_dt, name="dc_conv7")(y)
+        feats_out["dc_conv7"] = residual
+        flows[2] = flows[2] + residual
 
         def up4(f):
             B, H, W, _ = f.shape

@@ -584,6 +584,11 @@ class RAFT(nn.Module):
             not use_alt
             and not self.compute_spatial
             and not self.small
+            # feature taps expose the raw lookup as idx_corr_vol_{i}: the
+            # padded lane-stacked layout (B,H,W,L*256 with live junk hat
+            # channels) would silently replace the documented compact
+            # (B,H,W,L*(2r+1)^2) tap, so taps take the compact lookup
+            and not self.return_features
             and not pallas_disabled()
             and jax.default_backend() == "tpu"
         )

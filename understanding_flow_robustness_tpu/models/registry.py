@@ -118,7 +118,9 @@ _SPECS: dict[str, ModelSpec] = {
         size_multiple=8,
     ),
     "RAFT_adv_kitti2012_ifgsm_l2_002": ModelSpec(
-        lambda **kw: RAFT(mixed_precision=False, **kw),
+        # default-dict + **kw so callers can override mixed_precision,
+        # like every other spec (a plain keyword would TypeError on it)
+        lambda **kw: RAFT(**{"mixed_precision": False, **kw}),
         "adv_kitti2012_raft_ifgsm_l2_0.02.pth", "raft", is_raft=True,
         size_multiple=8,
     ),
@@ -298,7 +300,10 @@ def _unflatten(flat):
 def get_feature_map_keys(name: str) -> list[str]:
     """Capture-key sets per model family (models/utils_model.py:429-436 +
     get_feature_map_keys :282-426): the names the ``return_features`` dicts
-    expose and ``overrides`` accepts."""
+    expose.  ``overrides`` injection is a FlowNetC-family capability only,
+    exactly like the reference (overwrite_feat_maps exists solely in
+    FlowNetC/FlowNetC_flexible forwards, FlowNetC.py:121-155); RAFT/PWC
+    keys are capture-only."""
     if name.startswith("RAFT"):
         keys = ["fmap1", "fmap2"] + [f"corr_pyramid_{i}" for i in range(4)]
         keys += ["net", "inp"]
@@ -310,5 +315,19 @@ def get_feature_map_keys(name: str) -> list[str]:
         return ["conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b",
                 "corr", "conv_redir", "conv3_1"]
     if name.startswith("PWC"):
-        return [f"corr{l}" for l in (6, 5, 4, 3, 2)]
+        # the reference's full hook set (utils_model.py:345-409):
+        # interleaved pyramid taps, then per decoder level the corr,
+        # dense-chain convs, flow head and upsamplers, then the context
+        # net.  Quirk mirrored: the exposed "corr2" tensor is corr5 again
+        # (PWCNet.py:336 appends corr5 at the corr2 site).
+        keys = []
+        for i in range(6):
+            keys += [f"c1{i + 1}", f"c2{i + 1}"]
+        for lvl in (6, 5, 4, 3):
+            keys += [f"corr{lvl}"]
+            keys += [f"conv{lvl}_{i}" for i in range(5)]
+            keys += [f"predict_flow{lvl}", f"deconv{lvl}", f"upfeat{lvl}"]
+        keys += ["corr2"] + [f"conv2_{i}" for i in range(5)]
+        keys += [f"dc_conv{i}" for i in range(1, 8)] + ["predict_flow2"]
+        return keys
     return []

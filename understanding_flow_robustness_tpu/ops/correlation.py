@@ -155,6 +155,10 @@ def _corr_k1_band(f1: Array, f2: Array, patch_size: int, dilation_patch: int) ->
     else:
         col_blocks.append((0, W, 0, W))
 
+    # f32 inputs get true f32 multiplies (TPU default is one bf16 pass);
+    # the f32 zoo configs (FlowNet2, FlowNetC) were chosen f32 because
+    # bf16 drift exceeds the EPE budget — see all_pairs_correlation
+    prec = None if f1.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     rows = []
     for p in range(patch_size):
         du = (p - rad) * dilation_patch
@@ -163,10 +167,16 @@ def _corr_k1_band(f1: Array, f2: Array, patch_size: int, dilation_patch: int) ->
         for (w0, w1, lo, hi) in col_blocks:
             e = jnp.einsum(
                 "bhwc,bhvc->bhwv", f1[:, :, w0:w1], f2s[:, :, lo:hi],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             sel = _band_selector(w0, w1, lo, hi, patch_size, dilation_patch)
-            bands.append(jnp.einsum("bhwv,wvp->bhwp", e, sel))
+            # one-hot COPY contraction — but a default-precision f32
+            # matmul still rounds operands through bf16 passes, so the
+            # copy must carry the same precision to stay exact
+            bands.append(jnp.einsum(
+                "bhwv,wvp->bhwp", e, sel,
+                preferred_element_type=jnp.float32, precision=prec,
+            ))
         band = bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=2)
         rows.append(band)  # (B, H, W, P)
     out = jnp.stack(rows, axis=3)  # (B, H, W, P_u, P_v)
@@ -254,7 +264,12 @@ def all_pairs_correlation(f1: Array, f2: Array) -> Array:
     B, H, W, C = f1.shape
     a = f1.reshape(B, H * W, C)
     b = f2.reshape(B, H * W, C)
-    corr = jnp.einsum("bxc,byc->bxy", a, b, preferred_element_type=jnp.float32)
+    # f32 inputs get true f32 multiplies (TPU default would run a single
+    # bf16 pass — the deliberately-f32 configs exist to avoid that drift;
+    # the sibling Pallas kernels force the same, corr_lookup_fused.py)
+    prec = None if f1.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    corr = jnp.einsum("bxc,byc->bxy", a, b,
+                      preferred_element_type=jnp.float32, precision=prec)
     corr = corr / jnp.sqrt(jnp.asarray(C, jnp.float32))
     return corr.reshape(B, H * W, H, W).astype(f1.dtype)
 
@@ -265,7 +280,10 @@ def corr_pyramid(corr: Array, num_levels: int = 4) -> list[Array]:
 
     Pools directly in the (..., H2, W2) layout — W2 stays the TPU lane
     dimension (routing through a trailing channel of 1 wastes 127/128
-    lanes and measured 6x slower than HBM bandwidth)."""
+    lanes and measured 6x slower than HBM bandwidth).  The pairwise
+    reduction association here is mirrored bit-for-bit by
+    ops/pallas/alt_corr.py::pool_fmap_levels (the fused path's pooling) —
+    keep them in lockstep."""
     pyr = [corr]
     x = corr
     for _ in range(num_levels - 1):
@@ -448,11 +466,18 @@ def _corr_lookup_mxu(pyramid: list[Array], coords: Array, radius: int,
             + (ww == col_base + 1).astype(jnp.float32) * wx
         ).astype(sel_dtype)  # (B, N, n, Wl)
 
+        # f32 selector path gets true f32 multiplies (see
+        # all_pairs_correlation — this is also the backward of the padded
+        # Pallas lookup, whose forward runs HIGHEST for f32)
+        prec = (None if sel_dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
         rowsel = jnp.einsum(
-            "bqth,bqhw->bqtw", wrow, vol, preferred_element_type=jnp.float32
+            "bqth,bqhw->bqtw", wrow, vol,
+            preferred_element_type=jnp.float32, precision=prec,
         ).astype(sel_dtype)
         patch = jnp.einsum(
-            "bqtw,bqsw->bqts", rowsel, wcol, preferred_element_type=jnp.float32
+            "bqtw,bqsw->bqts", rowsel, wcol,
+            preferred_element_type=jnp.float32, precision=prec,
         )  # (B, N, n, n): [t, s] = sample at (y + t - r, x + s - r)
         # Reference channel order is transposed: index a*n+b samples
         # (x + a - r, y + b - r) (torch.meshgrid quirk, corr.py:79-85).
@@ -526,9 +551,17 @@ def alt_corr_features(fmap1: Array, fmap2: Array, coords: Array,
     Differentiable: gradients route through the volume formulation
     (identical math) via custom_vjp.
     """
-    if not interpret and _alt_vmem_bytes(
-        fmap1.shape, num_levels, radius, compute_dtype
-    ) > _ALT_VMEM_BUDGET:
+    # gate on BOTH kernels' footprints: the path choice happens at trace
+    # time and cannot know whether the caller will differentiate, and the
+    # backward kernel (alt_lookup_bwd) holds f32 df2 accumulators plus
+    # U/t1/d2 intermediates the forward never materializes — a geometry
+    # the forward admits could otherwise fail to compile the first time
+    # an attack/training step differentiates through it
+    need = max(
+        _alt_vmem_bytes(fmap1.shape, num_levels, radius, compute_dtype),
+        _alt_bwd_vmem_bytes(fmap1.shape, num_levels, radius, compute_dtype),
+    )
+    if not interpret and need > _ALT_VMEM_BUDGET:
         return _alt_corr_reference(fmap1, fmap2, coords, num_levels,
                                    radius, compute_dtype, padded)
     return _alt_corr_vjp(fmap1, fmap2, coords, num_levels, radius,
@@ -553,6 +586,29 @@ def _alt_vmem_bytes(fmap_shape, num_levels, radius, compute_dtype,
     f1e = H * tile * C * item                 # broadcast f1 tile (level 0)
     out = tile * 16 * num_levels * 16 * item
     return levels + corr + f1e + out
+
+
+def _alt_bwd_vmem_bytes(fmap_shape, num_levels, radius, compute_dtype,
+                        tile: int = 128) -> int:
+    """Worst-case VMEM residency of one alt_lookup_bwd invocation
+    (ops/pallas/alt_corr.py::_alt_corr_bwd_kernel): the f2 levels plus
+    their f32 df2 accumulator blocks, the level-0 U/Uh window-weight
+    images, the tmp/t1/d2 contraction intermediates, the broadcast f1
+    tile and the g block."""
+    B, H, W, C = fmap_shape
+    item = 2 if compute_dtype == jnp.bfloat16 else 4
+    lv_elems = sum(
+        max(H >> l, 1) * max(W >> l, 1) * C for l in range(num_levels)
+    )
+    levels = lv_elems * item       # f2 inputs
+    df2 = lv_elems * 4             # f32 accumulator output blocks
+    u = 2 * tile * H * W * item    # U + its (Hl, tq, Wl) transpose Uh
+    tmp = tile * 16 * W * item
+    t1 = H * tile * C * 4
+    f1e = H * tile * C * item
+    d2 = H * W * C * 4
+    g = tile * 16 * num_levels * 16 * item
+    return levels + df2 + u + tmp + t1 + f1e + d2 + g
 
 
 def check_padded_window_unused(weights_or_slice: Array, radius: int) -> bool:

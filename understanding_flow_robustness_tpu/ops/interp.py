@@ -374,7 +374,7 @@ def _make_sample_exact(padding_mode: str, ry: int, rx: int, interpret: bool):
         # never pays for both paths.  A lightly-violating one (the common
         # real-flow case) runs the kernel and exactly patches the
         # violations at two granularities (see the budget constants).
-        viol_tp, tile_counts, viol = warp_tiled_violation_plan(
+        viol_tp, tile_counts, viol, kplan = warp_tiled_violation_plan(
             img.shape, sy, sx, ry=ry, rx=rx, zeros_mode=zeros
         )
         T = tile_counts.shape[1]
@@ -396,6 +396,7 @@ def _make_sample_exact(padding_mode: str, ry: int, rx: int, interpret: bool):
                 img, sy, sx, ry=ry, rx=rx, zeros_mode=zeros,
                 interpret=interpret,
                 precision=("highest" if img.shape[-1] > 8 else "default"),
+                plan=kplan,   # planning already ran above; don't repeat it
             )[0]
 
             def correct():

@@ -363,7 +363,14 @@ def pool_fmap_levels(f2: Array, num_levels: int) -> list[Array]:
     floor semantics of corr_pyramid/F.avg_pool2d (odd trailing row/col
     dropped).  By linearity of the correlation in f2, correlating against
     pooled features equals pooling the correlation volume's target dims
-    (models/raft/corr.py:57-64)."""
+    (models/raft/corr.py:57-64).
+
+    The reduction ASSOCIATION is deliberately identical to
+    ops.correlation.corr_pyramid (row pairs first, then column pairs,
+    then *0.25) — the custom_vjp routes gradients through the volume
+    formulation, so the two poolings must stay bit-consistent; do NOT
+    "simplify" this to ops.interp.avg_pool2 (sums all four taps at once,
+    different float association)."""
     levels = [f2]
     x = f2
     for _ in range(num_levels - 1):

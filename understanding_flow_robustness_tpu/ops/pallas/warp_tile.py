@@ -252,14 +252,22 @@ def warp_tiled_violation_mask(
 def warp_tiled_violation_plan(
     img_shape, sy: Array, sx: Array, ry: int = 32, rx: int = 64,
     zeros_mode: bool = False,
-) -> tuple[Array, Array, Array]:
-    """(viol (B, T, P) bool tile-major, tile_counts (B, T) int32, total) —
-    tile order row-major over the TH x TW grid of the padded image.  The
-    cheap selection domain for the bounded correction: violations cluster,
-    and compacting ~60K tile flags costs ~400x less than compacting the
-    per-pixel mask (a 27 ms cumsum at FlowNet2 geometry — measured)."""
+) -> tuple[Array, Array, Array, tuple]:
+    """(viol (B, T, P) bool tile-major, tile_counts (B, T) int32, total,
+    kernel_plan) — tile order row-major over the TH x TW grid of the
+    padded image.  The cheap selection domain for the bounded correction:
+    violations cluster, and compacting ~60K tile flags costs ~400x less
+    than compacting the per-pixel mask (a 27 ms cumsum at FlowNet2
+    geometry — measured).
+
+    ``kernel_plan`` is the (syt, sxt, start_y, start_x, total) tuple
+    ``warp_tiled_sample(plan=...)`` accepts, so a caller that already ran
+    this planning pass doesn't pay for it again inside the sample call
+    (the lax.cond branch boundary there defeats CSE — ~10 elementwise/
+    reduction passes over B*H*W coords per warp otherwise)."""
     plan = _plan_tiles(img_shape, sy, sx, ry, rx, zeros_mode)
-    return plan[4], plan[5], plan[6]
+    kernel_plan = (plan[0], plan[1], plan[2], plan[3], plan[6])
+    return plan[4], plan[5], plan[6], kernel_plan
 
 
 @functools.partial(
@@ -275,6 +283,7 @@ def warp_tiled_sample(
     zeros_mode: bool = False,
     interpret: bool = False,
     precision: str = "default",
+    plan: tuple | None = None,
 ) -> tuple[Array, Array]:
     """Sample ``img`` at absolute pixel coordinates via the tiled kernel.
 
@@ -299,9 +308,13 @@ def warp_tiled_sample(
             f"slab ({sh}x{sw}) larger than padded image ({Hp}x{Wp}); "
             "shrink ry/rx or use the gather path"
         )
-    syt, sxt, start_y, start_x, _, _, violations = _plan_tiles(
-        img.shape, sy, sx, ry, rx, zeros_mode
-    )
+    if plan is None:
+        syt, sxt, start_y, start_x, _, _, violations = _plan_tiles(
+            img.shape, sy, sx, ry, rx, zeros_mode
+        )
+    else:
+        # precomputed by warp_tiled_violation_plan (same sy/sx/geometry)
+        syt, sxt, start_y, start_x, violations = plan
     if Hp != H or Wp != W:
         img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
     nty, ntx = Hp // TH, Wp // TW
