@@ -356,3 +356,32 @@ def test_infer_cli_rejects_bad_args(tmp_path):
     with pytest.raises(SystemExit):
         infer.main(["--flownet", "FlowNetS", "--img1", "a", "--img2", "b",
                     "--save", "exr"])
+
+
+def test_patch_embeddings_cli(tmp_path):
+    """P6 end-to-end: MMD + t-SNE artifacts from synthetic samples (the
+    sample loop yields 8-tuples — a regression here broke the whole tool)."""
+    from understanding_flow_robustness_tpu.cli import test_patch_embeddings
+
+    test_patch_embeddings.main([
+        "--flownet", "FlowNetC", "--pretrained_path", "/nonexistent",
+        "--random_patch", "uniform", "--patch_size", "24",
+        "--synthetic", "1", "--synthetic-size", "128", "192",
+        "--output", str(tmp_path), "--name", "smoke",
+        "--feature_keys", "corr", "--max_samples", "1",
+    ])
+    out = tmp_path / "smoke"
+    assert any(out.iterdir())
+
+
+def test_replace_features_cli(tmp_path):
+    """P5 end-to-end: uniform-vs-test patch feature replacement."""
+    from understanding_flow_robustness_tpu.cli import test_replace_features
+
+    test_replace_features.main([
+        "--flownet", "FlowNetC", "--pretrained_path", "/nonexistent",
+        "--random_patch", "uniform", "--patch_size", "24",
+        "--synthetic", "1", "--synthetic-size", "128", "192",
+        "--output", str(tmp_path), "--name", "smoke", "-fk", "corr",
+    ])
+    assert any((tmp_path / "smoke").iterdir())

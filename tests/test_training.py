@@ -125,3 +125,55 @@ def test_adversarial_training_step(tmp_path, tiny_raft):
     )
     params, stats, steps = train(cfg, tiny_raft, _batches(n=1, b=1))
     assert steps >= 1
+
+
+def test_area_resize_matches_torch_nondivisible():
+    """torch F.interpolate(mode='area') is ADAPTIVE pooling: non-divisible
+    sizes use variable bins, not fixed blocks (368->12 style geometries)."""
+    import torch
+    import torch.nn.functional as F
+
+    from understanding_flow_robustness_tpu.training.losses import (
+        _area_resize,
+    )
+
+    rng = np.random.RandomState(0)
+    for (H, W, h, w) in [(46, 62, 12, 20), (16, 24, 4, 6), (23, 31, 6, 10)]:
+        x = rng.randn(2, H, W, 2).astype(np.float32)
+        ours = np.asarray(_area_resize(jnp.asarray(x), h, w))
+        ref = F.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(h, w),
+            mode="area",
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_freeze_bn_raft_only():
+    """freeze_bn is RAFT-only like the reference (train.py:329-335)."""
+    from understanding_flow_robustness_tpu.training.train_step import (
+        make_train_step,
+    )
+    import optax
+
+    with pytest.raises(ValueError, match="RAFT-only"):
+        make_train_step(object(), optax.sgd(1e-3), is_raft=False,
+                        freeze_bn=True)
+
+
+def test_fetch_dataset_chairs_aug_params(tmp_path, monkeypatch):
+    """chairs stage: min_scale -0.2 (the reference's own fork value,
+    training/utils.py:296-309 — NOT upstream RAFT's -0.1); trans_rot sets
+    translate 10 / rot 17 / diff_angle 0 (shared rotation)."""
+    from understanding_flow_robustness_tpu.data import datasets as D
+
+    captured = {}
+
+    class _FakeChairs:
+        def __init__(self, aug_params, split, root):
+            captured.update(aug_params)
+
+    monkeypatch.setattr(D, "FlyingChairs", _FakeChairs)
+    D.fetch_dataset("chairs", (256, 640), trans_rot=True)
+    assert captured["min_scale"] == -0.2
+    assert captured["translate"] == 10 and captured["rot_angle"] == 17
+    assert captured["diff_angle"] == 0

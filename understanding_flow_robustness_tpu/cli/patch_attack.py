@@ -103,12 +103,11 @@ def main(argv=None):
     np.random.seed(args.seed)
 
     from ..models import fetch_model
+    from ..models.registry import checkpoint_arg as _ckpt_path
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
-    model = fetch_model(args.flownet, pretrained_path=(
-        args.pretrained_path if os.path.isdir(args.pretrained_path) else None
-    ))
+    model = fetch_model(args.flownet, pretrained_path=_ckpt_path(args.pretrained_path))
     # model.predict is already a cached jit with variables as a traced
     # argument; an outer jax.jit would re-inline the params as constants
     predict_jit = model.predict
@@ -156,13 +155,16 @@ def main(argv=None):
                 yield (rng.rand(1, h, w, 3).astype(np.float32),
                        rng.rand(1, h, w, 3).astype(np.float32))
             return
-        from ..data import Compose, RandomCrop, RandomHorizontalFlip, \
+        from ..data import Compose, RandomHorizontalFlip, \
             RandomScaleCrop, SequenceFolder, ToFloat01
 
+        # the reference's train crop is SQUARE and keyed on the patch
+        # size, not --image-size: 384x384 iff int(patch_size*384) == 153,
+        # else 256x256 (patch_attacks/main.py:203-206)
+        side = 384 if int(args.patch_size * 384) == 153 else 256
         transform = Compose([
             RandomHorizontalFlip(),
-            RandomScaleCrop(256, 256) if args.image_size == 256
-            else RandomScaleCrop(args.image_size, 1280),
+            RandomScaleCrop(side, side),
             ToFloat01(),
         ])
         ds = SequenceFolder(args.data, seed=args.seed, train=True,
@@ -183,7 +185,7 @@ def main(argv=None):
                 gt[..., 2] = 1
                 yield tgt, tgt, fut, gt
             return
-        from ..data import Compose, Scale, ToFloat01, get_evaluation_set
+        from ..data import get_evaluation_set
         from argparse import Namespace
 
         ds = get_evaluation_set(args.valset, Namespace(
@@ -246,6 +248,11 @@ def main(argv=None):
               f"adv_epe {metrics['adv_epe']:.3f} "
               f"cossim {metrics['cos_sim']:.3f} "
               f"adv_cossim {metrics['adv_cos_sim']:.3f}")
+    if errors.count:
+        avg = errors.avg
+        print(f"avg over {args.epochs} epochs: epe {avg[0]:.3f} "
+              f"adv_epe {avg[1]:.3f} cossim {avg[2]:.3f} "
+              f"adv_cossim {avg[3]:.3f}")
     return patch, mask
 
 

@@ -181,12 +181,11 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from ..models import fetch_model
+    from ..models.registry import checkpoint_arg as _ckpt_path
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
-    model = fetch_model(args.flownet, pretrained_path=(
-        args.pretrained_path if os.path.isdir(args.pretrained_path) else None
-    ))
+    model = fetch_model(args.flownet, pretrained_path=_ckpt_path(args.pretrained_path))
     predict = lambda a, b: model.predict(a, b)
 
     base_out = _output_path(args)

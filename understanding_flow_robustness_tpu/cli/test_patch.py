@@ -256,12 +256,11 @@ def main(argv=None):
     np.random.seed(args.seed)
 
     from ..models import fetch_model
+    from ..models.registry import checkpoint_arg as _ckpt_path
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
-    model = fetch_model(args.flownet, pretrained_path=(
-        args.pretrained_path if os.path.isdir(args.pretrained_path) else None
-    ))
+    model = fetch_model(args.flownet, pretrained_path=_ckpt_path(args.pretrained_path))
     # model.predict is already a cached jit taking variables as a TRACED
     # argument; wrapping it in another jax.jit would re-inline the params
     # as HLO constants (see PERF.md "Program size")

@@ -47,13 +47,13 @@ def main(argv=None):
     np.random.seed(args.seed)
 
     from ..models import fetch_model
+    from ..models.registry import checkpoint_arg as _ckpt_path
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
     model = fetch_model(
         args.flownet,
-        pretrained_path=(args.pretrained_path
-                         if os.path.isdir(args.pretrained_path) else None),
+        pretrained_path=_ckpt_path(args.pretrained_path),
         return_features=True,
     )
 
@@ -76,7 +76,7 @@ def main(argv=None):
     clean_embs: dict[str, list] = {k: [] for k in args.feature_keys}
     adv_embs: dict[str, list] = {k: [] for k in args.feature_keys}
 
-    for i, tgt, fut, gt in _val_samples(args):
+    for i, _past, tgt, fut, gt, _disp, _calib, _poses in _val_samples(args):
         if i >= args.max_samples:
             break
         feats_clean = forward(jnp.asarray(tgt, jnp.float32),

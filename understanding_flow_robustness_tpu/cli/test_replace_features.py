@@ -53,13 +53,13 @@ def main(argv=None):
     np.random.seed(args.seed)
 
     from ..models import fetch_model
+    from ..models.registry import checkpoint_arg as _ckpt_path
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
     model = fetch_model(
         args.flownet,
-        pretrained_path=(args.pretrained_path
-                         if os.path.isdir(args.pretrained_path) else None),
+        pretrained_path=_ckpt_path(args.pretrained_path),
         return_features=True,
     )
 
@@ -106,7 +106,7 @@ def main(argv=None):
 
     for keys in key_sets:
         errors = AverageMeter(i=6)
-        for i, tgt, fut, gt in _val_samples(args):
+        for i, _past, tgt, fut, gt, _d, _c, _p in _val_samples(args):
             c_uni, c_test, mc, _, _, rx, ry, _ = circle_transform_two_patches(
                 [uniform.copy(), patch.copy()], mask,
                 [uniform.copy(), patch.copy()], tgt.shape, patch_shape,

@@ -35,12 +35,22 @@ def build_parser():
     p.add_argument("--model", default="RAFT",
                    help="model ID (models.get_flownet_choices) or RAFT")
     p.add_argument("--stage", default="chairs",
-                   choices=["chairs", "things", "sintel", "kitti"])
+                   choices=["chairs", "things", "sintel", "kitti",
+                            "kitti2015", "kitti2012"],
+                   help="training stage; kitti2015/kitti2012 are the "
+                        "Scale'd pair stages the reference's adversarial "
+                        "branch requires (training/utils.py:245-272)")
     p.add_argument("--restore_ckpt", default=None)
-    p.add_argument("--lr", type=float, default=4e-4)
+    # reference defaults (training/train.py:370-373): lr 0.000125,
+    # image_size 256x640 — NOT upstream RAFT's 4e-4 / 368x496
+    p.add_argument("--lr", type=float, default=0.000125)
     p.add_argument("--num_steps", type=int, default=100000)
     p.add_argument("--batch_size", type=int, default=6)
-    p.add_argument("--image_size", type=int, nargs=2, default=[368, 496])
+    p.add_argument("--image_size", type=int, nargs=2, default=[256, 640])
+    p.add_argument("--data_list_dir", type=str,
+                   default="datasets/KITTI/global_attacks",
+                   help="path-list dir for the kitti2015/kitti2012 pair "
+                        "stages (setup_dataset_kitti.py output)")
     p.add_argument("--wdecay", type=float, default=1e-4)
     p.add_argument("--epsilon", type=float, default=1e-8)
     p.add_argument("--clip", type=float, default=1.0)
@@ -323,6 +333,25 @@ def main(argv=None):
         save_checkpoints=not args.DEBUG,
     )
 
+    def _finish_dataset(args, dataset):
+        if args.online_subset is not None:
+            # train on a fixed index subset (training/utils.py:275-276)
+            from ..data.datasets import Subset
+
+            dataset = Subset(dataset, list(args.online_subset))
+        return dataset
+
+    def _make_batches(loader, dataset):
+        def batches():
+            yield from loader
+
+        def sample_gt_fn(rng):
+            # a RANDOM train sample's GT (train.py:188-199)
+            _, _, flow, valid = dataset[rng.randint(len(dataset))][:4]
+            return np.asarray(flow)[None], np.asarray(valid)[None]
+
+        return batches, sample_gt_fn
+
     if args.synthetic:
         h, w = args.image_size
 
@@ -344,19 +373,57 @@ def main(argv=None):
             flow = rng.randn(args.batch_size, h, w, 2).astype(np.float32)
             valid = np.ones((args.batch_size, h, w), np.float32)
             return flow, valid
+    elif args.stage in ("kitti2015", "kitti2012"):
+        # the reference's adversarial-training data path
+        # (training/utils.py:245-289): Scale'd KITTI pair dataset with the
+        # SMALL (rescaled sparse-aware) GT as the training flow, batch 1
+        if args.adversarial:
+            assert args.batch_size == 1, "Only works for batch size 1!"
+        from ..data import DataLoader
+        from ..data.validation import KittiPairDataset
+
+        class _PairView:
+            """(img0, img1, gt_small, gt_full) -> loader 4-tuple with the
+            small GT as the training target (kitti_datasets.py:112-118
+            finetune return; the full-res GT only feeds the reference's
+            epe_attacked metric)."""
+
+            def __init__(self, ds):
+                self.ds = ds
+
+            def __len__(self):
+                return len(self.ds)
+
+            def __getitem__(self, i):
+                img0, img1, gt_small, _ = self.ds[i]
+                # DataLoader._collate divides images by 255
+                return (img0 * 255.0, img1 * 255.0,
+                        gt_small[..., :2], gt_small[..., 2])
+
+        dataset = _PairView(KittiPairDataset.from_lists(
+            args.data_list_dir,
+            year="2015" if args.stage == "kitti2015" else "2012",
+            split="train",
+            n_height=args.image_size[0], n_width=args.image_size[1],
+        ))
+        dataset = _finish_dataset(args, dataset)
+        loader = DataLoader(dataset, batch_size=args.batch_size,
+                            shuffle=True, num_workers=4, seed=args.seed)
+        batches, sample_gt_fn = _make_batches(loader, dataset)
     else:
         import json
 
         from ..data import DataLoader, fetch_dataset
 
         roots = json.loads(args.data_roots) if args.data_roots else None
-        dataset = fetch_dataset(args.stage, tuple(args.image_size),
-                                trans_rot=args.trans_rot, roots=roots)
-        if args.online_subset is not None:
-            # train on a fixed index subset (training/utils.py:275-276)
-            from ..data.datasets import Subset
-
-            dataset = Subset(dataset, list(args.online_subset))
+        if args.adversarial:
+            raise SystemExit(
+                "--adversarial needs --stage kitti2015 or kitti2012 (the "
+                "reference's adv_train branch, training/utils.py:245-272, "
+                "raises NotImplementedError for other stages)")
+        dataset = _finish_dataset(args, fetch_dataset(
+            args.stage, tuple(args.image_size),
+            trans_rot=args.trans_rot, roots=roots))
 
         # ONE loader for the whole run: its RandomState advances across
         # epochs, so each batches() pass sees a fresh shuffle — torch's
@@ -365,14 +432,7 @@ def main(argv=None):
         # permutation every epoch.)
         loader = DataLoader(dataset, batch_size=args.batch_size,
                             shuffle=True, num_workers=4, seed=args.seed)
-
-        def batches():
-            yield from loader
-
-        def sample_gt_fn(rng):
-            # a RANDOM train sample's GT (train.py:188-199)
-            _, _, flow, valid = dataset[rng.randint(len(dataset))][:4]
-            return np.asarray(flow)[None], np.asarray(valid)[None]
+        batches, sample_gt_fn = _make_batches(loader, dataset)
 
     validate_fn = None
     if args.validation:

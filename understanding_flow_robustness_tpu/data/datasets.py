@@ -230,10 +230,14 @@ class HD1K(FlowDataset):
 def fetch_dataset(stage: str, image_size, trans_rot: bool = False,
                   roots: dict | None = None):
     """Stage -> dataset with the reference's aug params
-    (datasets.py:224-326 / training/utils.py:242-398):
+    (training/utils.py:289-398 — the reference's own fork of RAFT's
+    datasets.py, which changed chairs' min_scale from RAFT's -0.1 to
+    -0.2):
 
-      chairs: scale [-0.1, 1.0], flips
-      things: scale [-0.4, 0.8], flips (clean+final passes)
+      chairs: scale [-0.2, 1.0], flips; trans_rot adds translate 10,
+              rot 17 deg, diff_angle 0 (SHARED rotation between frames)
+      things: scale [-0.4, 0.8], flips (clean+final passes); trans_rot
+              adds translate 10, rot 17 deg, diff_angle 5
       sintel: scale [-0.2, 0.6], flips; mix 100*clean+100*final+200*KITTI
               +5*HD1K(skipped, unsupported)+things
       kitti:  sparse, scale [-0.2, 0.4], no flips
@@ -243,16 +247,21 @@ def fetch_dataset(stage: str, image_size, trans_rot: bool = False,
     def r(key, default):
         return roots.get(key, default)
 
-    if stage == "chairs":
-        aug = {"crop_size": image_size, "min_scale": -0.1, "max_scale": 1.0,
-               "do_flip": True}
+    def tr(aug, diff_angle):
+        # training/utils.py:293-302,313-322: explicit translate/rot/diff
         if trans_rot:
-            aug["do_trans_rot"] = True
+            aug.update(do_trans_rot=True, translate=10, rot_angle=17,
+                       diff_angle=diff_angle)
+        return aug
+
+    if stage == "chairs":
+        aug = tr({"crop_size": image_size, "min_scale": -0.2,
+                  "max_scale": 1.0, "do_flip": True}, diff_angle=0)
         return FlyingChairs(aug, split="training",
                             root=r("chairs", "datasets/FlyingChairs_release/data"))
     if stage == "things":
-        aug = {"crop_size": image_size, "min_scale": -0.4, "max_scale": 0.8,
-               "do_flip": True}
+        aug = tr({"crop_size": image_size, "min_scale": -0.4,
+                  "max_scale": 0.8, "do_flip": True}, diff_angle=5)
         clean = FlyingThings3D(aug, root=r("things", "datasets/FlyingThings3D"),
                                dstype="frames_cleanpass")
         final = FlyingThings3D(aug, root=r("things", "datasets/FlyingThings3D"),

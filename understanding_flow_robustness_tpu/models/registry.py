@@ -297,6 +297,22 @@ def _unflatten(flat):
     return tree
 
 
+def checkpoint_arg(path: Optional[str]) -> Optional[str]:
+    """Normalize a CLI ``--pretrained_path`` for ``fetch_model``: a zoo
+    DIRECTORY or a checkpoint FILE (.pth/.pth.tar/.msgpack) passes
+    through; a missing path becomes None (random init, the documented
+    no-weights fallback) with a visible warning instead of silently
+    evaluating random weights as if they were the requested checkpoint."""
+    if path and os.path.exists(path):
+        return path
+    if path and path != "pretrained_models":
+        import sys
+
+        print(f"WARNING: pretrained path '{path}' not found; "
+              "using random init", file=sys.stderr)
+    return None
+
+
 def get_feature_map_keys(name: str) -> list[str]:
     """Capture-key sets per model family (models/utils_model.py:429-436 +
     get_feature_map_keys :282-426): the names the ``return_features`` dicts

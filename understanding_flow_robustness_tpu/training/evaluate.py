@@ -134,8 +134,19 @@ def _validate_kitti_sharded(model, dataset, mesh) -> dict:
     pjit = shard_predict(model.predict_fn, mesh)
 
     # common padded geometry over the whole set (KITTI frames differ by a
-    # few pixels; replicate-pad per sample, crop before scoring)
-    sizes = [dataset[i][0].shape[:2] for i in range(len(dataset))]
+    # few pixels; replicate-pad per sample, crop before scoring).  Read
+    # dimensions from the PNG headers when the dataset exposes its file
+    # list — decoding all 200 samples just for shapes doubles the sharded
+    # path's I/O (everything is decoded again in the main loop).
+    if hasattr(dataset, "image_list") and dataset.image_list:
+        from PIL import Image
+
+        sizes = []
+        for pair in dataset.image_list:
+            with Image.open(pair[0]) as im:   # header-only, lazy decode
+                sizes.append((im.height, im.width))
+    else:
+        sizes = [dataset[i][0].shape[:2] for i in range(len(dataset))]
     max_h = max(s[0] for s in sizes)
     max_w = max(s[1] for s in sizes)
     pad_h = max_h + (-max_h) % max(model.size_multiple, 1)
@@ -184,6 +195,20 @@ def create_sintel_submission(model, dataset_fn, output_path="sintel_submission",
                              warm_start: bool = False):
     """evaluate.py:200-240: .flo files per scene/frame with optional
     warm-start flow propagation (RAFT only)."""
+    # jit the RAFT forward ONCE per warm-start mode: un-jitted apply would
+    # dispatch the full 32-iteration graph op-by-op for every one of the
+    # ~1100 frames per pass (variables stay a traced argument, see
+    # FlowModel.predict)
+    @jax.jit
+    def _raft_cold(variables, i1, i2):
+        return model.module.apply(variables, i1 * 255.0, i2 * 255.0,
+                                  test_mode=True)
+
+    @jax.jit
+    def _raft_warm(variables, i1, i2, flow_init):
+        return model.module.apply(variables, i1 * 255.0, i2 * 255.0,
+                                  test_mode=True, flow_init=flow_init)
+
     for dstype in ["clean", "final"]:
         dataset = dataset_fn(dstype)
         flow_prev, sequence_prev = None, None
@@ -198,13 +223,16 @@ def create_sintel_submission(model, dataset_fn, output_path="sintel_submission",
                 mode="sintel",
             )
             if model.is_raft:
-                kw = {}
                 if flow_prev is not None and warm_start:
-                    kw["flow_init"] = jnp.asarray(flow_prev[None])
-                flow_low, flow_pr = model.module.apply(
-                    model.variables, jnp.asarray(img1b) * 255.0,
-                    jnp.asarray(img2b) * 255.0, test_mode=True, **kw,
-                )
+                    flow_low, flow_pr = _raft_warm(
+                        model.variables, jnp.asarray(img1b),
+                        jnp.asarray(img2b), jnp.asarray(flow_prev[None]),
+                    )
+                else:
+                    flow_low, flow_pr = _raft_cold(
+                        model.variables, jnp.asarray(img1b),
+                        jnp.asarray(img2b),
+                    )
                 if warm_start:
                     flow_prev = forward_interpolate(np.asarray(flow_low[0]))
             else:

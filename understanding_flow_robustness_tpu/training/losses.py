@@ -19,15 +19,33 @@ Array = jax.Array
 MAX_FLOW = 400.0
 
 
+def _area_matrix(src: int, dst: int):
+    """(dst, src) row-averaging matrix of torch adaptive average pooling:
+    output i averages input rows [floor(i*src/dst), ceil((i+1)*src/dst))."""
+    import numpy as np
+
+    m = np.zeros((dst, src), np.float32)
+    for i in range(dst):
+        s = (i * src) // dst
+        e = -((-(i + 1) * src) // dst)
+        m[i, s:e] = 1.0 / (e - s)
+    return jnp.asarray(m)
+
+
 def _area_resize(flow: Array, h: int, w: int) -> Array:
-    """torch F.interpolate(mode="area") for integer downscale factors:
-    average pooling over the source blocks."""
+    """torch F.interpolate(mode="area") == adaptive average pooling with
+    VARIABLE bins (bin i spans [floor(i*H/h), ceil((i+1)*H/h))), exact for
+    non-divisible sizes too — a fixed-block crop deviates by up to ~0.06
+    at the coarse FlowNet scales when H % h != 0.  Separable matrices keep
+    it on the MXU; HIGHEST precision because this feeds the loss."""
     B, H, W, C = flow.shape
     if (H, W) == (h, w):
         return flow
-    fh, fw = H // h, W // w
-    x = flow[:, : h * fh, : w * fw, :].reshape(B, h, fh, w, fw, C)
-    return jnp.mean(x, axis=(2, 4))
+    prec = jax.lax.Precision.HIGHEST
+    my = _area_matrix(H, h)
+    mw = _area_matrix(W, w)
+    x = jnp.einsum("hH,bHWc->bhWc", my, flow, precision=prec)
+    return jnp.einsum("wW,bhWc->bhwc", mw, x, precision=prec)
 
 
 def _masked_mean(x: Array, keep: Array) -> Array:

@@ -44,9 +44,20 @@ def make_train_step(
 ) -> Callable:
     """Build the jittable train step.
 
+    ``freeze_bn`` is RAFT-only, exactly like the reference (train.py:
+    329-335 excludes the FlowNetC/PWC families): for the conv families
+    the ``train`` flag gates BOTH the norm mode and the multi-scale
+    return structure, so train=False would hand the loss a single
+    eval-mode flow instead of the prediction pyramid.
+
     Batch: dict(image1, image2 in [0,1] NHWC, flow (B,H,W,2), valid (B,H,W)).
     Returns (new_params, new_opt_state, new_batch_stats, metrics).
     """
+    if freeze_bn and not is_raft:
+        raise ValueError(
+            "freeze_bn is RAFT-only (train.py:329-335); the conv families' "
+            "train flag also controls the multi-scale return structure"
+        )
     loss_fn_impl = sequence_loss if loss_type == "sequence" else multiscale_epe
 
     def loss_fn(params, batch_stats, batch):

@@ -120,7 +120,11 @@ def train(
         params = restored["params"]
         opt_state = restored["opt_state"]
         batch_stats = restored["batch_stats"]
-        total_steps = int(restored["total_steps"])
+        # +1: checkpoints are written PRE-increment at val_freq-1 steps
+        # (train.py:124 'total_steps = checkpoint["total_steps"] + 1');
+        # restoring the raw value would repeat the checkpointed step and
+        # instantly re-checkpoint/re-validate on the first batch
+        total_steps = int(restored["total_steps"]) + 1
         print(f"resumed from step {total_steps}")
         # fully-trained detection on a RESTORED checkpoint only,
         # train.py:619-622 (total_steps + 1 >= num_steps; fresh runs train
@@ -272,8 +276,13 @@ def train(
                     break
 
     if cfg.save_checkpoints:
+        # stored step uses the same PRE-increment convention as the
+        # val_freq checkpoints (train.py:289-300 saves before the
+        # increment; restore adds the +1 back) — the reference's own
+        # final artifact is weights-only 'final_{total_steps-1}.pth'
         ckpt.save_checkpoint(
-            cfg.checkpoint_dir, params, opt_state, batch_stats, total_steps
+            cfg.checkpoint_dir, params, opt_state, batch_stats,
+            total_steps - 1,
         )
         ckpt.save_weights(
             os.path.join(cfg.checkpoint_dir, f"{cfg.name}.msgpack"), params
