@@ -137,7 +137,11 @@ def main():
     def train_once(i1, i2, fl, va, p, o, s):
         batch = {"image1": i1, "image2": i2, "flow": fl, "valid": va}
         np_, no_, _, m = tstep(p, o, s, batch)
-        return m["loss"]
+        # return the UPDATED PARAMS too: timed_loop folds every output
+        # leaf into its carry, so this keeps the backward pass + optimizer
+        # update live — returning only the loss lets XLA dead-code-
+        # eliminate the whole VJP and time a forward-only step
+        return np_, m["loss"]
 
     dt = timed_loop(train_once, tbatch + (tparams, topt, tstats), n=5)
     train_frames = tb / dt

@@ -9,7 +9,7 @@
 # is the C++ input-pipeline runtime.)
 set -e
 cd "$(dirname "$0")/.."
-python - <<'EOF'
+python3 - <<'EOF'
 from understanding_flow_robustness_tpu import native
 from understanding_flow_robustness_tpu.native import loader
 

@@ -100,15 +100,25 @@ def main(argv=None):
         return name if kept >= 3 else None
 
     with ThreadPoolExecutor(args.num_workers) as pool:
-        futs = [pool.submit(process_drive, d, dr) for d, dr in
+        futs = [(d, pool.submit(process_drive, d, dr)) for d, dr in
                 iter_drives(args.dataset_dir)]
-        for f in futs:
-            name = f.result()
+        for drive, f in futs:
+            # per-drive isolation: one incompletely-downloaded drive
+            # (missing calib file, corrupt PNG) must not abort the whole
+            # prep and discard hours of completed resizing
+            try:
+                name = f.result()
+            except Exception as e:
+                print(f"WARNING: skipping drive {drive}: {e}")
+                continue
             if name:
                 scenes.append(name)
 
     scenes.sort()
-    n_val = max(1, int(len(scenes) * args.val_fraction)) if scenes else 0
+    # never assign the ONLY scene to val (an empty train.txt would make
+    # SequenceFolder crawl zero scenes with no error pointing here)
+    n_val = (max(1, int(len(scenes) * args.val_fraction))
+             if len(scenes) > 1 else 0)
     with open(os.path.join(args.dump_root, "train.txt"), "w") as f:
         f.write("\n".join(scenes[n_val:]) + "\n")
     with open(os.path.join(args.dump_root, "val.txt"), "w") as f:

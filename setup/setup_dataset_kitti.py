@@ -19,8 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from understanding_flow_robustness_tpu.flowviz import write_paths  # noqa: E402
 
 
-def collect(root: str, image0_dir: str, image1_dir: str, disp_dir: str,
-            flow_dir: str):
+def collect(root: str, image0_dir: str, disp_dir: str, flow_dir: str):
+    # both frames come from the LEFT camera (*_10/*_11 pairs) — the
+    # right-camera dirs the reference enumerates are never read by the
+    # flow-pair consumers (KittiPairDataset)
     image0 = sorted(glob.glob(os.path.join(root, image0_dir, "*_10.png")))
     image1 = sorted(glob.glob(os.path.join(root, image0_dir, "*_11.png")))
     disparity = sorted(glob.glob(os.path.join(root, disp_dir, "*_10.png")))
@@ -57,15 +59,30 @@ def main(argv=None):
     os.makedirs(out_train, exist_ok=True)
     os.makedirs(out_test, exist_ok=True)
 
-    stereo = collect(args.kitti2012, "colored_0", "colored_1", "disp_occ",
-                     "flow_occ")
-    scene = collect(args.kitti2015, "image_2", "image_3", "disp_occ_0",
-                    "flow_occ")
+    stereo = collect(args.kitti2012, "colored_0", "disp_occ", "flow_occ")
+    scene = collect(args.kitti2015, "image_2", "disp_occ_0", "flow_occ")
 
     emit(out_train, out_test, "stereo", stereo)
     emit(out_train, out_test, "scene", scene)
-    combined = tuple(a + b for a, b in zip(stereo, scene))
-    emit(out_train, out_test, "stereo_scene", combined, n_train=320)
+    # combined split = per-dataset splits concatenated
+    # (setup_dataset_kitti.py:404-470 writes stereo_train + scene_train),
+    # NOT combined[:320] — KITTI-2012 has 194 pairs, so a flat 320-prefix
+    # would leak 34 stereo test samples into the combined train list
+    names = ["image0", "image1", "disparity", "flow"]
+    for k, name in enumerate(names):
+        write_paths(
+            os.path.join(out_train, f"kitti_stereo_scene_flow_all_{name}.txt"),
+            stereo[k] + scene[k],
+        )
+        write_paths(
+            os.path.join(out_train,
+                         f"kitti_stereo_scene_flow_train_{name}.txt"),
+            stereo[k][:160] + scene[k][:160],
+        )
+        write_paths(
+            os.path.join(out_test, f"kitti_stereo_scene_flow_test_{name}.txt"),
+            stereo[k][160:] + scene[k][160:],
+        )
     print(f"wrote path lists under {args.output}")
 
 

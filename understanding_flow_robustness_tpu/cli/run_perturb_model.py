@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", type=str, default="kitti2015",
                    choices=["kitti2012", "kitti2015"])
     p.add_argument("--data_list_dir", type=str,
-                   default="datasets/KITTI/global_attacks")
+                   default="datasets/KITTI/global_attacks/training")
     p.add_argument("--n_height", type=int, default=256)
     p.add_argument("--n_width", type=int, default=640)
     p.add_argument("--perturb_method", type=str, default=PERTURB_METHOD,

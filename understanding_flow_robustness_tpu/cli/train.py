@@ -48,7 +48,7 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=6)
     p.add_argument("--image_size", type=int, nargs=2, default=[256, 640])
     p.add_argument("--data_list_dir", type=str,
-                   default="datasets/KITTI/global_attacks",
+                   default="datasets/KITTI/global_attacks/training",
                    help="path-list dir for the kitti2015/kitti2012 pair "
                         "stages (setup_dataset_kitti.py output)")
     p.add_argument("--wdecay", type=float, default=1e-4)

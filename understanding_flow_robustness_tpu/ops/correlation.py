@@ -155,10 +155,12 @@ def _corr_k1_band(f1: Array, f2: Array, patch_size: int, dilation_patch: int) ->
     else:
         col_blocks.append((0, W, 0, W))
 
-    # f32 inputs get true f32 multiplies (TPU default is one bf16 pass);
-    # the f32 zoo configs (FlowNet2, FlowNetC) were chosen f32 because
-    # bf16 drift exceeds the EPE budget — see all_pairs_correlation
-    prec = None if f1.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    # DEFAULT matmul precision, deliberately: forcing f32 (HIGHEST) here
+    # was measured at -35% FlowNetC e2e (433 -> 286 pairs/s) and -27% on
+    # the patch-attack metric, while the f32 conv stack around this op
+    # runs at default precision anyway — the parity suites pass at their
+    # per-pixel tolerances with the default, and the bf16-drift budget
+    # analysis (PERF.md) already brackets the error.
     rows = []
     for p in range(patch_size):
         du = (p - rad) * dilation_patch
@@ -167,15 +169,12 @@ def _corr_k1_band(f1: Array, f2: Array, patch_size: int, dilation_patch: int) ->
         for (w0, w1, lo, hi) in col_blocks:
             e = jnp.einsum(
                 "bhwc,bhvc->bhwv", f1[:, :, w0:w1], f2s[:, :, lo:hi],
-                preferred_element_type=jnp.float32, precision=prec,
+                preferred_element_type=jnp.float32,
             )
             sel = _band_selector(w0, w1, lo, hi, patch_size, dilation_patch)
-            # one-hot COPY contraction — but a default-precision f32
-            # matmul still rounds operands through bf16 passes, so the
-            # copy must carry the same precision to stay exact
             bands.append(jnp.einsum(
                 "bhwv,wvp->bhwp", e, sel,
-                preferred_element_type=jnp.float32, precision=prec,
+                preferred_element_type=jnp.float32,
             ))
         band = bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=2)
         rows.append(band)  # (B, H, W, P)
@@ -264,12 +263,11 @@ def all_pairs_correlation(f1: Array, f2: Array) -> Array:
     B, H, W, C = f1.shape
     a = f1.reshape(B, H * W, C)
     b = f2.reshape(B, H * W, C)
-    # f32 inputs get true f32 multiplies (TPU default would run a single
-    # bf16 pass — the deliberately-f32 configs exist to avoid that drift;
-    # the sibling Pallas kernels force the same, corr_lookup_fused.py)
-    prec = None if f1.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    # DEFAULT matmul precision, matching the conv stack's policy (forcing
+    # HIGHEST in the correlation ops measured -35% FlowNetC e2e for zero
+    # observable parity benefit — the suites pass at their tolerances)
     corr = jnp.einsum("bxc,byc->bxy", a, b,
-                      preferred_element_type=jnp.float32, precision=prec)
+                      preferred_element_type=jnp.float32)
     corr = corr / jnp.sqrt(jnp.asarray(C, jnp.float32))
     return corr.reshape(B, H * W, H, W).astype(f1.dtype)
 
@@ -466,18 +464,11 @@ def _corr_lookup_mxu(pyramid: list[Array], coords: Array, radius: int,
             + (ww == col_base + 1).astype(jnp.float32) * wx
         ).astype(sel_dtype)  # (B, N, n, Wl)
 
-        # f32 selector path gets true f32 multiplies (see
-        # all_pairs_correlation — this is also the backward of the padded
-        # Pallas lookup, whose forward runs HIGHEST for f32)
-        prec = (None if sel_dtype == jnp.bfloat16
-                else jax.lax.Precision.HIGHEST)
         rowsel = jnp.einsum(
-            "bqth,bqhw->bqtw", wrow, vol,
-            preferred_element_type=jnp.float32, precision=prec,
+            "bqth,bqhw->bqtw", wrow, vol, preferred_element_type=jnp.float32
         ).astype(sel_dtype)
         patch = jnp.einsum(
-            "bqtw,bqsw->bqts", rowsel, wcol,
-            preferred_element_type=jnp.float32, precision=prec,
+            "bqtw,bqsw->bqts", rowsel, wcol, preferred_element_type=jnp.float32
         )  # (B, N, n, n): [t, s] = sample at (y + t - r, x + s - r)
         # Reference channel order is transposed: index a*n+b samples
         # (x + a - r, y + b - r) (torch.meshgrid quirk, corr.py:79-85).

@@ -12,6 +12,16 @@ from __future__ import annotations
 import numpy as np
 
 
+def _pairwise_sq_dists(a: np.ndarray) -> np.ndarray:
+    """(m, m) squared euclidean distances via the gram expansion — the
+    (m, m, D) broadcast intermediate costs m*m*D*8 bytes (~330 MB at 200
+    samples x 1024 channels); this is O(m^2) memory."""
+    n2 = (a * a).sum(-1)
+    d2 = n2[:, None] + n2[None, :] - 2.0 * (a @ a.T)
+    np.maximum(d2, 0.0, out=d2)   # clamp the roundoff negatives
+    return d2
+
+
 def gaussian_mmd(x: np.ndarray, y: np.ndarray,
                  kernel_mul: float = 2.0, kernel_num: int = 5) -> float:
     """Multi-bandwidth Gaussian-kernel MMD (test_patch_embeddings.py:130-163
@@ -21,7 +31,7 @@ def gaussian_mmd(x: np.ndarray, y: np.ndarray,
     y = np.asarray(y, np.float64).reshape(len(y), -1)
     n = len(x)
     total = np.concatenate([x, y], axis=0)
-    d2 = ((total[:, None, :] - total[None, :, :]) ** 2).sum(-1)
+    d2 = _pairwise_sq_dists(total)
     m = total.shape[0]
     bandwidth = d2.sum() / (m * m - m + 1e-12)
     bandwidth /= kernel_mul ** (kernel_num // 2)
@@ -43,9 +53,13 @@ def tsne(x: np.ndarray, n_components: int = 2, perplexity: float = 30.0,
     for the few-hundred-point embedding scatters the analysis produces."""
     x = np.asarray(x, np.float64).reshape(len(x), -1)
     n = x.shape[0]
+    if n < 2:
+        raise ValueError(
+            f"t-SNE needs at least 2 points, got {n} (a single point has "
+            "no pairwise structure; the result would be silent NaNs)")
     perplexity = min(perplexity, (n - 1) / 3.0)
 
-    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    d2 = _pairwise_sq_dists(x)
     target_entropy = np.log(perplexity)
     P = np.zeros((n, n))
     for i in range(n):

@@ -107,7 +107,9 @@ class CsvLogger:
     def __init__(self, path: str, header: Sequence[str]):
         self.path = path
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        new = not os.path.exists(path)
+        # a zero-byte leftover from a crashed run still needs the header
+        new = (not os.path.exists(path)
+               or os.path.getsize(path) == 0)
         self._f = open(path, "a", newline="", encoding="utf-8")
         self._w = csv.writer(self._f)
         if new:

@@ -16,7 +16,11 @@ def tensor2array(array: np.ndarray, max_value: float = 255,
     (H, W, 3) image -> float RGB (patch_attacks/utils.py:21-56)."""
     array = np.asarray(array)
     if max_value is None:
+        # guard the auto-scale: an all-zero map would divide 0/0 -> NaN
+        # (undefined uint8 cast), an all-negative one would invert sign
         max_value = float(array.max())
+        if not np.isfinite(max_value) or max_value <= 0:
+            max_value = 1.0
     if array.ndim == 2 or (array.ndim == 3 and array.shape[-1] == 1):
         try:
             import cv2
