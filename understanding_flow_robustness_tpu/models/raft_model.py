@@ -593,9 +593,15 @@ class RAFT(nn.Module):
             and jax.default_backend() == "tpu"
         )
         if use_alt:
+            # coords_grad=False: coords1 is stop-gradiented every
+            # iteration (the reference detaches too, raft.py:188), so the
+            # coordinate cotangent is dead — skipping it saves two
+            # derivative-selector kernel passes per iteration in the
+            # training/attack backward
             lookup = lambda pyr, c: alt_corr_features(
                 fmap1, fmap2, c, self.corr_levels, self.radius,
                 compute_dtype=compute_dtype, padded=use_alt_padded,
+                coords_grad=False,
             )
         elif self.compute_spatial:
             lookup = _spatial_corr_lookup

@@ -509,7 +509,8 @@ def _corr_lookup_gather(pyramid: list[Array], coords: Array, radius: int) -> Arr
 def alt_corr_features(fmap1: Array, fmap2: Array, coords: Array,
                       num_levels: int = 4, radius: int = 4,
                       compute_dtype=None, padded: bool = False,
-                      interpret: bool = False) -> Array:
+                      interpret: bool = False,
+                      coords_grad: bool = True) -> Array:
     """Correlation-pyramid window lookup computed straight from the feature
     maps — value-equal to
     ``corr_lookup(corr_pyramid(all_pairs_correlation(f1, f2)), coords)``
@@ -540,7 +541,11 @@ def alt_corr_features(fmap1: Array, fmap2: Array, coords: Array,
     back to the volume formulation instead of failing to compile.
 
     Differentiable: gradients route through the volume formulation
-    (identical math) via custom_vjp.
+    (identical math) via custom_vjp.  ``coords_grad=False`` skips the
+    coordinate cotangent entirely (returns zeros) — RAFT detaches coords
+    every iteration (models/raft/raft.py:188), so its training/attack
+    backward never consumes dcoords, and computing it costs two full
+    derivative-selector kernel passes per iteration.
     """
     # gate on BOTH kernels' footprints: the path choice happens at trace
     # time and cannot know whether the caller will differentiate, and the
@@ -556,7 +561,7 @@ def alt_corr_features(fmap1: Array, fmap2: Array, coords: Array,
         return _alt_corr_reference(fmap1, fmap2, coords, num_levels,
                                    radius, compute_dtype, padded)
     return _alt_corr_vjp(fmap1, fmap2, coords, num_levels, radius,
-                         compute_dtype, padded, interpret)
+                         compute_dtype, padded, interpret, coords_grad)
 
 
 _ALT_VMEM_BUDGET = 80 * 1024 * 1024  # margin under the 96 MB compile limit
@@ -651,9 +656,9 @@ def _alt_corr_reference(fmap1: Array, fmap2: Array, coords: Array,
     return stacked
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _alt_corr_vjp(fmap1, fmap2, coords, num_levels, radius, compute_dtype,
-                  padded, interpret):
+                  padded, interpret, coords_grad=True):
     from .pallas.alt_corr import alt_corr_features as _pallas_impl
 
     return _pallas_impl(fmap1, fmap2, coords, num_levels, radius,
@@ -661,19 +666,19 @@ def _alt_corr_vjp(fmap1, fmap2, coords, num_levels, radius, compute_dtype,
 
 
 def _alt_corr_fwd(fmap1, fmap2, coords, num_levels, radius, compute_dtype,
-                  padded, interpret):
+                  padded, interpret, coords_grad=True):
     out = _alt_corr_vjp(fmap1, fmap2, coords, num_levels, radius,
-                        compute_dtype, padded, interpret)
+                        compute_dtype, padded, interpret, coords_grad)
     return out, (fmap1, fmap2, coords)
 
 
 def _alt_corr_bwd(num_levels, radius, compute_dtype, padded, interpret,
-                  res, g):
+                  coords_grad, res, g):
     fmap1, fmap2, coords = res
     if jax.default_backend() == "tpu" and not interpret:
         return _alt_corr_bwd_pallas(
             fmap1, fmap2, coords, g, num_levels, radius, compute_dtype,
-            padded,
+            padded, coords_grad=coords_grad,
         )
     _, vjp = jax.vjp(
         lambda a, b, c: _alt_corr_reference(
@@ -681,11 +686,15 @@ def _alt_corr_bwd(num_levels, radius, compute_dtype, padded, interpret,
         ),
         fmap1, fmap2, coords,
     )
-    return vjp(g)
+    df1, df2, dc = vjp(g)
+    if not coords_grad:
+        dc = jnp.zeros_like(coords)
+    return df1, df2, dc
 
 
 def _alt_corr_bwd_pallas(fmap1, fmap2, coords, g, num_levels, radius,
-                         compute_dtype, padded, interpret=False):
+                         compute_dtype, padded, interpret=False,
+                         coords_grad=True):
     """Volume-free backward: f1/f2 cotangents via the dedicated Pallas
     kernel (ops/pallas/alt_corr.py::alt_lookup_bwd) and the coordinate
     cotangent via two derivative-selector forward passes — the bilinear
@@ -735,6 +744,12 @@ def _alt_corr_bwd_pallas(fmap1, fmap2, coords, g, num_levels, radius,
     dfmap1 = (df1 * scale).reshape(B, H, W, C).astype(fmap1.dtype)
     dfmap2 = pool_vjp(tuple(d.astype(jnp.float32) for d in dlevels))[0]
     dfmap2 = dfmap2.astype(fmap2.dtype)
+
+    if not coords_grad:
+        # the caller declared the coordinate cotangent dead (RAFT
+        # detaches coords per iteration, raft.py:188): skip the two
+        # derivative-selector kernel passes per call
+        return dfmap1, dfmap2, jnp.zeros_like(coords)
 
     # dcoords: derivative-selector forward passes; level l contributes
     # with the 1/2^l chain factor of coords -> coords/2^l
