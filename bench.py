@@ -36,6 +36,50 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Display metadata for the headline table PERF.md embeds (see
+# render_markdown): metric key -> (display name, baseline source note).
+TABLE_ROWS = [
+    ("raft_kitti_384x1280_frame_pairs_per_sec_per_chip",
+     "RAFT-12 @ 384×1280", "10 pairs/s (1080Ti, RAFT paper)"),
+    ("flownetc_kitti2012_384x1280_frame_pairs_per_sec_per_chip",
+     "FlowNetC @ 384×1280", "28 pairs/s (GTX 1080, FlowNet2 paper)"),
+    ("patch_attack_flownetc_384x1280_iters_per_sec_per_chip",
+     "Patch-attack inner step (FlowNetC, batch 1)", "~9 iters/s (derived)"),
+    ("flownet2_384x1280_frame_pairs_per_sec_per_chip",
+     "FlowNet2 @ 384×1280 (f32)", "8 pairs/s (GTX 1080, FlowNet2 paper)"),
+    ("spynet_384x1280_frame_pairs_per_sec_per_chip",
+     "SPyNet @ 384×1280", "14 pairs/s (Titan X, SPyNet paper)"),
+    ("pwcnet_384x1280_frame_pairs_per_sec_per_chip",
+     "PWC-Net @ 384×1280 (mixed)", "32 pairs/s (Titan X, PWC-Net paper)"),
+    ("raft_train_step_288x960_frames_per_sec_per_chip",
+     "RAFT train step (batch 4 @ 288×960)", "6 frames/s (derived)"),
+]
+
+
+def flatten_metrics(result: dict) -> dict:
+    """{metric_key: (value, unit, vs_baseline)} from a bench JSON line."""
+    out = {result["metric"]: (result["value"], result["unit"],
+                              result["vs_baseline"])}
+    for m in result.get("extra_metrics", []):
+        out[m["metric"]] = (m["value"], m["unit"], m["vs_baseline"])
+    return out
+
+
+def render_markdown(result: dict) -> str:
+    """The PERF.md headline table, generated from bench output so the doc
+    cannot drift from the driver artifact (tests/test_perf_doc.py pins it
+    against the newest BENCH_r*.json)."""
+    flat = flatten_metrics(result)
+    lines = [
+        "| Metric | v5e (1 chip) | PyTorch-GPU baseline | Factor |",
+        "|---|---|---|---|",
+    ]
+    for key, name, base in TABLE_ROWS:
+        value, unit, vs = flat[key]
+        lines.append(f"| {name} | **{value:g} {unit}** | {base} "
+                     f"| **{vs:g}×** |")
+    return "\n".join(lines) + "\n"
+
 RAFT_GPU_BASELINE = 10.0       # pairs/s, see module docstring
 FLOWNETC_GPU_BASELINE = 28.0   # pairs/s
 PATCH_GPU_BASELINE = 9.0       # attack iters/s
@@ -122,10 +166,16 @@ def main():
 
     tb, th, tw = 4, 288, 960
     tx, _ = fetch_optimizer(lr=1e-4, num_steps=1000)
-    tparams = raft.variables["params"]
-    tstats = raft.variables.get("batch_stats", {})
+    # train module: batch_pad_encoders tiles the batch-4 cnet to 8 (XLA's
+    # batch-4 conv strategy is pathological on v5e — see RAFT.batched);
+    # params/stats are structurally identical to the inference module.
+    # make_train_step auto-enables the packed RAFT loss path on TPU.
+    raft_tr = fetch_model("RAFT", pretrained_path=None,
+                          init_size=(128, 128), batch_pad_encoders=True)
+    tparams = raft_tr.variables["params"]
+    tstats = raft_tr.variables.get("batch_stats", {})
     topt = tx.init(tparams)
-    tstep = jax.jit(make_train_step(raft.module, tx, loss_type="sequence",
+    tstep = jax.jit(make_train_step(raft_tr.module, tx, loss_type="sequence",
                                     is_raft=True))
     tbatch = (
         jnp.asarray(rng.rand(tb, th, tw, 3).astype(np.float32)),

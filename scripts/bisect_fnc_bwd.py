@@ -10,7 +10,6 @@ import jax
 import jax.numpy as jnp
 
 from understanding_flow_robustness_tpu.models.flownet_family import FlowNetC
-from understanding_flow_robustness_tpu.ops.interp import resize_bilinear
 from understanding_flow_robustness_tpu.utils import enable_compilation_cache
 from understanding_flow_robustness_tpu.utils.benchmark import timed_loop
 

@@ -8,7 +8,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from understanding_flow_robustness_tpu.models import fetch_model
 from understanding_flow_robustness_tpu.models.flownet2 import (
     FlowNet2CS, FlowNetSD, FlowNetFusion,
 )
@@ -24,7 +23,6 @@ a = jnp.asarray(rng.rand(8, H, W, 3).astype(np.float32))
 b = jnp.asarray(rng.rand(8, H, W, 3).astype(np.float32))
 
 # warp kernel standalone with moderate flows (no violations expected)
-from understanding_flow_robustness_tpu.ops.interp import coords_grid
 flow = jnp.asarray(rng.randn(8, H, W, 2).astype(np.float32) * 6)
 dt = timed_loop(lambda i, f: warp_backward(i, f, "border"), (a, flow), n=20)
 print(f"warp(auto,sigma6) b8: {dt*1000:.2f} ms", flush=True)

@@ -38,5 +38,6 @@ from understanding_flow_robustness_tpu.models.registry import fetch_model
 fn2 = fetch_model("FlowNet2", pretrained_path=None, init_size=(128, 128))
 a = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
 b = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
-dt = timed_loop(lambda aa, bb, vv: fn2.predict_fn(vv, aa, bb), (a, b, fn2.variables), n=20)
+dt = timed_loop(lambda aa, bb, vv: fn2.predict_fn(vv, aa, bb),
+                (a, b, fn2.variables), n=20)
 print(f"FlowNet2 e2e: {dt*1000:.2f} ms = {B/dt:.1f} pairs/s", flush=True)

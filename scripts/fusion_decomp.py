@@ -6,12 +6,13 @@
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 
 from understanding_flow_robustness_tpu.ops.s2d import (
-    conv_s2d, s2d_conv_kernel, space_to_depth, depth_to_space,
+    conv_s2d,
+    s2d_conv_kernel,
+    space_to_depth,
 )
 from understanding_flow_robustness_tpu.utils import enable_compilation_cache
 from understanding_flow_robustness_tpu.utils.benchmark import timed_loop

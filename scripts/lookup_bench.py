@@ -7,7 +7,6 @@ estimated by timing variant kernels with phases ablated.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from understanding_flow_robustness_tpu.ops.pallas.alt_corr import alt_lookup

@@ -1,7 +1,8 @@
 """Round-2 profiling: patch-attack decomposition + warp wall measurements.
 
 Run on the TPU chip:
-  PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_r2.py > /tmp/profile_r2.out 2>&1
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_r2.py \
+      > /tmp/profile_r2.out 2>&1
 """
 from __future__ import annotations
 
@@ -43,7 +44,8 @@ print("== FlowNetC batch-1 attack decomposition ==", flush=True)
 fnc = fetch_model("FlowNetC", pretrained_path=None, init_size=(128, 128))
 for B in (1, 2, 4, 8):
     a, b = imgs(B)
-    dt = timed_loop(lambda x, y, v: fnc.predict_fn(v, x, y), (a, b, fnc.variables), n=20)
+    dt = timed_loop(lambda x, y, v: fnc.predict_fn(v, x, y),
+                    (a, b, fnc.variables), n=20)
     report(f"fnc fwd b{B}", dt)
 
 a1, b1 = imgs(1)

@@ -13,7 +13,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from understanding_flow_robustness_tpu.models.pwcnet import (
-    PWCNet,
     correlate_pwc,
     _WARP_SCALE,
 )

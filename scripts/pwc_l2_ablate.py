@@ -23,10 +23,7 @@ from understanding_flow_robustness_tpu.ops import (
     spatial_correlation,
     warp_backward,
 )
-from understanding_flow_robustness_tpu.ops.correlation import (
-    _band_selector,
-    _shift2d,
-)
+from understanding_flow_robustness_tpu.ops.correlation import _shift2d
 from understanding_flow_robustness_tpu.ops.interp import (
     coords_grid,
     unnormalize_coords,

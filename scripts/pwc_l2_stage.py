@@ -6,7 +6,6 @@ barrier -> progressive-concat decoder -> predict_flow (+ context).
 """
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

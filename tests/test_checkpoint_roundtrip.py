@@ -46,7 +46,6 @@ def _assert_forward_parity(name, ref_model, tmp_path, h=64, w=64,
     else:
         ref = oracle.nhwc(_ref_out(ref_model, x1, x2))
         if ref.shape[1] != h:  # predict upsamples to input size
-            import torch.nn.functional as F
 
             ref = oracle.nhwc(torch.nn.functional.interpolate(
                 oracle.nchw(ref), (h, w), mode="bilinear",

@@ -32,7 +32,16 @@ FORK_DIR = os.path.dirname(FORK)
 @pytest.fixture(scope="module")
 def fork():
     if not os.path.exists(FORK):
-        pytest.skip("reference frost fork not available")
+        # skip ONLY when the whole reference checkout is absent; if the
+        # reference exists but the fork path moved, that is a path
+        # regression the suite must FAIL on, not silently green-by-skip
+        if os.path.isdir("/root/reference"):
+            pytest.fail(
+                f"/root/reference exists but the frost fork is missing at "
+                f"{FORK} — update FORK instead of letting the oracle suite "
+                f"skip"
+            )
+        pytest.skip("reference checkout not available")
     import reference_oracle  # installs pkg_resources/skimage stubs
 
     reference_oracle.install_reference_abs()
@@ -115,7 +124,10 @@ def test_shift_matches_fork(fork, dx, dy):
 @pytest.mark.parametrize("idx", [1, 3, 5])
 def test_frost_matches_fork(fork, severity, idx):
     if not os.path.exists(os.path.join(FORK_DIR, "frost", "frost2.png")):
-        pytest.skip("frost textures not present")
+        pytest.fail(
+            "reference fork present but its frost/ textures are missing — "
+            "the texture-path oracle must not go green-by-skip"
+        )
     img = _img(64, 96, seed=severity)
     np.random.seed(7)
     ref = fork.frost(img, severity=severity, idx=idx)
@@ -142,6 +154,58 @@ def test_frost_falsy_idx_quirk(fork):
         a2 = C.frost(img, severity=1, idx=0)
         np.testing.assert_array_equal(a, a2)
     assert a.shape == img.shape
+
+
+# procedural frost fallback: committed golden hashes (no reference needed).
+# The fallback is what ships when the upstream frost photos are absent, so
+# its output must be reproducible cross-machine — a silent change here would
+# silently change every no-asset frost result.  Hashes computed from the
+# exact float64 bytes (plasma fractal is pure numpy arithmetic; cv2.resize
+# INTER_CUBIC is deterministic for a given OpenCV build).
+_FROST_TEX_SHA256_16 = {
+    0: "dbc14d178b76c67e",
+    1: "a093d44f611d1209",
+    2: "586c93ebe53e676e",
+    3: "af6d62a185a93460",
+    4: "064e84317306d209",
+    5: "01721f11d9494459",
+}
+
+
+@pytest.mark.parametrize("idx", sorted(_FROST_TEX_SHA256_16))
+def test_procedural_frost_texture_golden(idx):
+    import hashlib
+
+    C._FROST_CACHE.clear()
+    tex = C._frost_texture(idx, None)
+    C._FROST_CACHE.clear()
+    assert tex.shape == (512, 640, 3) and tex.dtype == np.float64
+    digest = hashlib.sha256(
+        np.ascontiguousarray(tex).tobytes()).hexdigest()[:16]
+    assert digest == _FROST_TEX_SHA256_16[idx], (
+        f"procedural frost texture {idx} drifted (got {digest}); if the "
+        f"change is intentional, update the committed golden hashes"
+    )
+    # spot values survive a hash-library change / give a softer signal
+    np.testing.assert_allclose(
+        [tex[0, 0, 0], tex[256, 320, 1], tex[511, 639, 2]],
+        [tex[0, 0, 1], tex[256, 320, 0], min(tex[511, 639, 0] * 1.1, 255.0)],
+        atol=1e-9,
+    )
+
+
+def test_procedural_frost_end_to_end_golden():
+    """frost() through the procedural fallback is bit-stable."""
+    import hashlib
+
+    C._FROST_CACHE.clear()
+    img = _img(64, 96, seed=0)
+    np.random.seed(3)
+    out = np.asarray(C.frost(img, severity=3, idx=2), np.float64)
+    C._FROST_CACHE.clear()
+    digest = hashlib.sha256(
+        np.ascontiguousarray(out).tobytes()).hexdigest()[:16]
+    assert digest == "80f0f4ed3daa8fa6", digest
 
 
 # ---------------------------------------------------------------------------

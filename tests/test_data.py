@@ -4,7 +4,6 @@ over synthetic KITTI-format files on disk."""
 import os
 
 import numpy as np
-import pytest
 
 from understanding_flow_robustness_tpu import flowviz
 from understanding_flow_robustness_tpu.data import (

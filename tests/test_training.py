@@ -4,7 +4,6 @@ end-to-end tiny training with checkpoint/resume, multichip train step."""
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 import torch
 
@@ -125,6 +124,119 @@ def test_adversarial_training_step(tmp_path, tiny_raft):
     )
     params, stats, steps = train(cfg, tiny_raft, _batches(n=1, b=1))
     assert steps >= 1
+
+
+def test_packed_upsample_matches_convex():
+    """upsample_flow_packed == upsample_flow_convex through the packed
+    channel mapping (raft_model._packed_uv_order)."""
+    import jax.numpy as jnp
+
+    from understanding_flow_robustness_tpu.models.raft_model import (
+        _packed_uv_order,
+        pack_fullres,
+        upsample_flow_convex,
+        upsample_flow_packed,
+    )
+
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 4, 6
+    flow = jnp.asarray(rng.randn(B, H, W, 2).astype(np.float32))
+    mask = jnp.asarray(rng.randn(B, H, W, 576).astype(np.float32))
+
+    full = upsample_flow_convex(flow, mask)          # (B, 8H, 8W, 2)
+
+    # packed mask layout: block k of 128 lanes, c-duplicated, 0.25 folded
+    uv64, _ = _packed_uv_order()
+    idx = (np.arange(9)[:, None] * 64 + np.asarray(uv64)[None, :]) \
+        .repeat(2, axis=1).reshape(-1)
+    mask_p = (0.25 * np.asarray(mask))[..., idx]
+    packed = upsample_flow_packed(flow, jnp.asarray(mask_p))
+
+    # NOTE: upsample_flow_convex multiplies by 0.25 OUTSIDE (the update
+    # block does it); feed the same effective mask to both
+    full = upsample_flow_convex(flow, 0.25 * mask)
+    np.testing.assert_allclose(
+        np.asarray(pack_fullres(full)), np.asarray(packed),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_packed_sequence_loss_matches_plain():
+    from understanding_flow_robustness_tpu.models.raft_model import (
+        pack_fullres,
+    )
+    from understanding_flow_robustness_tpu.training.losses import (
+        sequence_loss,
+    )
+
+    rng = np.random.RandomState(1)
+    B, H, W = 2, 32, 48
+    preds = [rng.randn(B, H, W, 2).astype(np.float32) for _ in range(3)]
+    gt = rng.randn(B, H, W, 2).astype(np.float32) * 5
+    valid = (rng.rand(B, H, W) > 0.3).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    loss_ref, met_ref = sequence_loss(
+        [jnp.asarray(p) for p in preds], jnp.asarray(gt), jnp.asarray(valid)
+    )
+    packed_preds = [pack_fullres(jnp.asarray(p)) for p in preds]
+    loss_p, met_p = sequence_loss(
+        packed_preds, jnp.asarray(gt), jnp.asarray(valid), packed=True
+    )
+    np.testing.assert_allclose(float(loss_p), float(loss_ref), rtol=1e-5)
+    for k in met_ref:
+        np.testing.assert_allclose(float(met_p[k]), float(met_ref[k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_packed_train_step_matches_plain(tiny_raft):
+    """The packed RAFT train path produces the same updated params and
+    loss as the reference-shaped path (float reassociation tolerance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from understanding_flow_robustness_tpu.training import (
+        fetch_optimizer,
+        make_train_step,
+    )
+
+    rng = np.random.RandomState(2)
+    b, h, w = 2, 64, 64
+    batch = {
+        "image1": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
+        "image2": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
+        "flow": jnp.asarray(rng.randn(b, h, w, 2).astype(np.float32)),
+        "valid": jnp.ones((b, h, w), np.float32),
+    }
+    tx, _ = fetch_optimizer(lr=1e-4, num_steps=10)
+    params = tiny_raft.variables["params"]
+    stats = tiny_raft.variables.get("batch_stats", {})
+    opt = tx.init(params)
+
+    outs = {}
+    for packed in (False, True):
+        step = jax.jit(make_train_step(
+            tiny_raft.module, tx, loss_type="sequence", is_raft=True,
+            packed_raft=packed,
+        ))
+        np_, no_, ns_, m = step(params, opt, stats, batch)
+        outs[packed] = (np_, m)
+
+    m0, m1 = outs[False][1], outs[True][1]
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["epe"]), float(m0["epe"]),
+                               rtol=1e-4)
+    # Npx metrics count threshold crossings — a 1-ulp EPE difference on a
+    # borderline pixel flips one count; allow a few of 8192 pixels
+    for k in ("1px", "3px", "5px"):
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]), atol=5e-4)
+    flat0 = jax.tree_util.tree_leaves(outs[False][0])
+    flat1 = jax.tree_util.tree_leaves(outs[True][0])
+    for a, c in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)
 
 
 def test_area_resize_matches_torch_nondivisible():

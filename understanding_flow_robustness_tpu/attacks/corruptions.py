@@ -225,7 +225,8 @@ def gaussian_blur(x, severity=1):
     from scipy.ndimage import gaussian_filter
 
     c = [1, 2, 3, 4, 6][severity - 1]
-    x = gaussian_filter(np.asarray(x, np.float64) / 255.0, sigma=(c, c, 0), mode="nearest")
+    x = gaussian_filter(np.asarray(x, np.float64) / 255.0, sigma=(c, c, 0),
+                        mode="nearest")
     return np.clip(x, 0, 1) * 255
 
 

@@ -19,7 +19,6 @@ attacks/corruptions.py (host-side numpy, like the reference).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable
 
 import jax

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..flowviz import flow_to_image
 from . import log_utils
 from .corruptions import corrupt_pair, get_corruption_names
 from .global_attacks import (

@@ -87,6 +87,22 @@ def collect_pairs(args) -> list:
     raise SystemExit("need --pairs, --dir, or --img1/--img2")
 
 
+def _dedup_stems(pairs: list) -> list:
+    """Disambiguate duplicate output stems (same basename, different dirs)
+    by appending the pair index — otherwise later pairs silently overwrite
+    earlier outputs."""
+    seen: dict = {}
+    for _, _, stem in pairs:
+        seen[stem] = seen.get(stem, 0) + 1
+    if all(v == 1 for v in seen.values()):
+        return pairs
+    dupes = {s for s, v in seen.items() if v > 1}
+    return [
+        (p1, p2, f"{stem}_{i:06d}" if stem in dupes else stem)
+        for i, (p1, p2, stem) in enumerate(pairs)
+    ]
+
+
 def _writers(formats):
     from ..flowviz import flowlib, io as fio
 
@@ -109,7 +125,7 @@ def _writers(formats):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    pairs = collect_pairs(args)
+    pairs = _dedup_stems(collect_pairs(args))
     if not pairs:
         raise SystemExit("no input pairs found")
     if args.batch_size % args.devices:
@@ -181,8 +197,13 @@ def main(argv=None):
             img2 = batch_u8_to_float01_pad(np.stack(buf2), oh, ow, t, l)
             pad = (t, b, l, r)
         else:
-            img1 = np.stack(buf1).astype(np.float32) / 255.0
-            img2 = np.stack(buf2).astype(np.float32) / 255.0
+            # scale by the integer dtype's max (16-bit PNGs decode as u16;
+            # dividing those by 255 would feed the model values up to ~257)
+            dt = buf1[0].dtype
+            scale = float(np.iinfo(dt).max) if np.issubdtype(
+                dt, np.integer) else 255.0
+            img1 = np.stack(buf1).astype(np.float32) / scale
+            img2 = np.stack(buf2).astype(np.float32) / scale
             img1, img2, _, _, pad = pad_batch(
                 img1, img2, None, None,
                 multiple=model.size_multiple, mode=args.pad_mode,

@@ -16,7 +16,6 @@ import argparse
 import json
 import os
 
-import jax
 import numpy as np
 
 from ..attacks import (

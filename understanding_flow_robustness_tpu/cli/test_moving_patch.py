@@ -10,10 +10,8 @@ ignored (--ignore_mask_flow); renders the per-location EPE heatmap overlay
 
 from __future__ import annotations
 
-import argparse
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

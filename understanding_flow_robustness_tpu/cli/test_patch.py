@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.ndimage import minimum_filter, zoom

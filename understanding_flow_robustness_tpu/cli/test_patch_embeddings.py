@@ -9,7 +9,6 @@ PDFs (:417-441).
 
 from __future__ import annotations
 
-import argparse
 import os
 
 import jax

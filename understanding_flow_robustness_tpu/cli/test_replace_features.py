@@ -15,7 +15,6 @@ injection are first-class functional arguments of the models.
 
 from __future__ import annotations
 
-import argparse
 import itertools
 import json
 import os

@@ -253,6 +253,12 @@ def main(argv=None):
 
     if args.model.startswith("RAFT"):
         kwargs["iters"] = 3 if args.DEBUG else args.iters  # train.py:235
+        if jax.default_backend() == "tpu":
+            # XLA picks a pathologically slow conv strategy at batch 2-4
+            # on v5e (see RAFT.batched); tiling the encoder batch to >= 8
+            # is value-identical (exactly duplicated samples leave batch
+            # statistics unchanged) and ~3x faster
+            kwargs.setdefault("batch_pad_encoders", True)
         if args.small:
             kwargs["small"] = True
         if args.fnorm != "instance":

@@ -43,6 +43,7 @@ __all__ = [
     "SequenceFolder", "SparseFlowAugmentor", "ToFloat", "ToFloat01",
     "ValidationFlowKitti2012", "ValidationFlowKitti2015",
     "ValidationFlowKitti2015MV",
-    "ValidationSet", "ValidationSetPair", "ValidationSintel", "crawl_folders", "fetch_dataset",
+    "ValidationSet", "ValidationSetPair", "ValidationSintel",
+    "crawl_folders", "fetch_dataset",
     "get_evaluation_set", "imresize", "pad_batch",
 ]

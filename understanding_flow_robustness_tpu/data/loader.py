@@ -9,7 +9,6 @@ double-buffered prefetch.
 from __future__ import annotations
 
 import concurrent.futures
-import threading
 from typing import Iterator, Optional
 
 import numpy as np

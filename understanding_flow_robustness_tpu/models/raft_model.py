@@ -34,7 +34,6 @@ from jax import lax
 from ..ops import (
     all_pairs_correlation,
     alt_corr_features,
-    avg_pool2,
     coords_grid,
     corr_lookup,
     corr_lookup_padded,
@@ -43,7 +42,13 @@ from ..ops import (
     resize_bilinear,
     spatial_correlation,
 )
-from .layers import InstanceNorm2d, TorchBatchNorm, TorchConv, TorchGroupNorm, leaky_relu
+from .layers import (
+    InstanceNorm2d,
+    TorchBatchNorm,
+    TorchConv,
+    TorchGroupNorm,
+    leaky_relu,
+)
 
 Array = jax.Array
 
@@ -346,6 +351,9 @@ class BasicUpdateBlock(nn.Module):
     no_motion_downsampling: bool = False
     dtype: Optional[Any] = None
     padded_corr_levels: int = 0
+    # emit the mask in the packed-upsample layout (PackedMaskConv1x1,
+    # 0.25 folded) for the TPU train path; params/checkpoints unchanged
+    packed_mask: bool = False
 
     @nn.compact
     def __call__(self, net: Array, inp: Array, corr: Array, flow: Array):
@@ -359,7 +367,12 @@ class BasicUpdateBlock(nn.Module):
         net = SepConvGRU(self.hidden_dim, self.dtype, name="gru")(net, x)
         delta_flow = FlowHead(256, self.dtype, name="flow_head")(net)
         m = jax.nn.relu(TorchConv(256, 3, 1, dtype=self.dtype, name="mask_0")(net))
-        mask = 0.25 * TorchConv(64 * 9, 1, 1, dtype=self.dtype, name="mask_2")(m)
+        if self.packed_mask:
+            mask = PackedMaskConv1x1(64 * 9, dtype=self.dtype,
+                                     name="mask_2")(m)
+        else:
+            mask = 0.25 * TorchConv(64 * 9, 1, 1, dtype=self.dtype,
+                                    name="mask_2")(m)
         # the tap concat below is DCE'd unless return_features consumes it
         motion_features = jnp.concatenate(mf_srcs, axis=-1)
         return net, mask, delta_flow, (motion_features, cor1, cor, cor_flo)
@@ -383,6 +396,122 @@ class SmallUpdateBlock(nn.Module):
         # tap concat DCE'd unless return_features consumes it
         motion_features = jnp.concatenate(mf_srcs, axis=-1)
         return net, None, delta_flow, (motion_features,) * 4
+
+
+def _packed_uv_order() -> "tuple":
+    """Channel orders for the packed-upsample layout.
+
+    Packed channel j (0..127) carries output sub-pixel (u, v) and flow
+    component c with BIT-INTERLEAVED position bits and c minor:
+    ``j = u2 v2 u1 v1 u0 v0 c`` — chosen so three standard 2x2
+    depth_to_space rounds reconstruct the full-res image (each round
+    consumes the current top (dy, dx) bit pair), and c lanes are adjacent
+    so per-c taps tile as a 64x repeat of (t0, t1).
+
+    Returns (uv64, perm_c2): ``uv64[m]`` = plain sub-pixel index
+    ``u * 8 + v`` for packed pair index m = j >> 1, and ``perm_c2[j]`` =
+    plain channel ``(u * 8 + v) * 2 + c`` for packed channel j.
+    """
+    import numpy as np
+
+    uv64 = np.empty(64, np.int64)
+    for m in range(64):
+        b = [(m >> k) & 1 for k in range(5, -1, -1)]  # u2 v2 u1 v1 u0 v0
+        u = (b[0] << 2) | (b[2] << 1) | b[4]
+        v = (b[1] << 2) | (b[3] << 1) | b[5]
+        uv64[m] = u * 8 + v
+    perm_c2 = np.empty(128, np.int64)
+    perm_c2[0::2] = uv64 * 2
+    perm_c2[1::2] = uv64 * 2 + 1
+    return uv64, perm_c2
+
+
+class PackedMaskConv1x1(nn.Module):
+    """mask_2 emitting the packed-upsample mask layout (TPU train path).
+
+    The reference mask head (models/raft/update.py:139-162) emits 576
+    channels ordered ``k * 64 + (u * 8 + v)`` and the convex upsample then
+    softmaxes over k on a (B, H, W, 9, 8, 8) view — minor dim 8 of 128
+    lanes, and the 6-D transpose/reshape to full-res costs ~66 ms/step in
+    the RAFT train backward (see PERF.md round-3 decomposition).  This
+    variant emits 9 blocks of 128 lanes, block k holding the SAME stored
+    column at packed channels (u, v, c=0) and (u, v, c=1) in the
+    bit-interleaved `_packed_uv_order` layout, with the reference's 0.25
+    mask scale folded into the kernel (exact: power of two).  Every
+    downstream op (softmax over k, tap FMA, loss) becomes a full-width
+    128-lane VPU op.  Stored params keep the reference shape
+    (1, 1, Cin, 576)/(576,) so checkpoints load unchanged."""
+
+    features: int = 64 * 9
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        import numpy as np
+
+        kernel = self.param(
+            "kernel", nn.initializers.kaiming_normal(),
+            (1, 1, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        uv64, _ = _packed_uv_order()
+        # packed output channel k*128 + j -> stored channel k*64 + uv64[j>>1]
+        idx = (np.arange(9)[:, None] * 64 +
+               np.asarray(uv64)[None, :]).repeat(2, axis=1).reshape(-1)
+        idx = jnp.asarray(idx)
+        dtype = self.dtype or x.dtype
+        big = (0.25 * kernel[0, 0]).astype(dtype)[:, idx]
+        y = jnp.einsum(
+            "bhwc,cf->bhwf", x.astype(dtype), big,
+            preferred_element_type=dtype,
+        )
+        return y + (0.25 * bias).astype(dtype)[idx]
+
+
+def upsample_flow_packed(flow: Array, mask_p: Array) -> Array:
+    """Convex 8x upsampling in the packed layout — value-equal to
+    ``upsample_flow_convex`` with packed[b, h, w, j] ==
+    convex[b, 8h+u, 8w+v, c] for j per `_packed_uv_order` (modulo ~1 ulp
+    softmax reassociation).  mask_p: (B, H, W, 9*128) from
+    PackedMaskConv1x1 (0.25 scale already folded).  No full-res tensor,
+    no 6-D transpose: nine 128-lane slices, a streaming softmax over k,
+    and nine in-lane FMAs."""
+    B, H, W, _ = flow.shape
+    ms = [mask_p[..., 128 * k:128 * (k + 1)] for k in range(9)]
+    mx = ms[0]
+    for m in ms[1:]:
+        mx = jnp.maximum(mx, m)
+    es = [jnp.exp(m - mx) for m in ms]
+    denom = sum(es)
+
+    f = 8.0 * flow
+    fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for k, (dy, dx) in enumerate((dy, dx) for dy in range(3)
+                                 for dx in range(3)):
+        tap = fp[:, dy:dy + H, dx:dx + W, :]         # (B, H, W, 2)
+        term = es[k] * jnp.tile(tap, (1, 1, 1, 64))  # c is the minor bit
+        out = term if out is None else out + term
+    return out / denom
+
+
+def pack_fullres(x: Array) -> Array:
+    """(B, 8h, 8w, C) -> (B, h, w, 64*C) in the packed-upsample channel
+    order (`_packed_uv_order`), C minor.  Used once per train step to
+    bring the ground truth / masks into the packed space so the sequence
+    loss never touches full-res tensors."""
+    import numpy as np
+
+    B, H8, W8, C = x.shape
+    h, w = H8 // 8, W8 // 8
+    x = x.reshape(B, h, 8, w, 8, C).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, h, w, 64 * C)   # channel (u*8+v)*C + c
+    uv64, _ = _packed_uv_order()
+    perm = (np.asarray(uv64)[:, None] * C +
+            np.arange(C)[None, :]).reshape(-1)
+    return x[..., jnp.asarray(perm)]
 
 
 def upsample_flow_convex(flow: Array, mask: Array) -> Array:
@@ -464,7 +593,23 @@ class RAFT(nn.Module):
         flow_init: Optional[Array] = None,
         train: bool = False,
         test_mode: bool = True,
+        packed_train: bool = False,
     ):
+        """``packed_train`` (train path only): return per-iteration flow
+        predictions in the packed 1/8-res layout (B, H/8, W/8, 128) —
+        ``upsample_flow_packed`` — instead of full-res (B, H, W, 2);
+        consumed by ``training.losses.sequence_loss(packed=True)``, which
+        packs the GT once.  Value-equal training (same loss/grads modulo
+        float reassociation) at a fraction of the HBM traffic: the convex
+        upsample's 6-D transposes and every full-res loss tensor
+        disappear from the step.  Requires the standard (non-small)
+        update block and no feature taps."""
+        if packed_train and (self.small or test_mode
+                             or self.return_features):
+            raise ValueError(
+                "packed_train requires the standard update block, "
+                "test_mode=False, and return_features=False"
+            )
         hdim, cdim = self.hidden_dim, self.context_dim
         compute_dtype = (
             self.dtype if self.dtype is not None
@@ -475,10 +620,15 @@ class RAFT(nn.Module):
         x2 = 2.0 * (image2 / 255.0) - 1.0
 
         # XLA picks a pathologically slow convolution strategy for the
-        # instance-norm encoders at batch sizes 2-4 on v5e (measured 9.4
-        # ms/img at B=4 vs 1.5 ms/img at B=8); every encoder op is
-        # per-sample, so padding the batch to >= 8 by tiling and slicing
-        # the result is value-identical and ~3x faster in wall clock.
+        # encoders at batch sizes 2-4 on v5e (measured 9.4 ms/img at B=4
+        # vs 1.5 ms/img at B=8 forward; the round-3 train-step trace shows
+        # the same pathology in the cnet backward plus ~15k relayout
+        # copies), so padding the batch to >= 8 by tiling and slicing the
+        # result is ~3x faster in wall clock.  Value-identical: instance
+        # norm is per-sample, and batch norm over EXACTLY duplicated
+        # samples has identical mean/variance (the unbiased running-var
+        # factor n/(n-1) shifts by ~2e-6 relative at these sizes — the
+        # one documented deviation).
         def batched(encoder, x, min_batch=8):
             b = x.shape[0]
             if b >= min_batch or not self.batch_pad_encoders:
@@ -631,6 +781,7 @@ class RAFT(nn.Module):
                     self.corr_levels
                     if (use_alt_padded or use_vol_padded) else 0
                 ),
+                packed_mask=packed_train,
                 name="update_block",
             )
 
@@ -643,7 +794,9 @@ class RAFT(nn.Module):
                 net, inp, corr, flow
             )
             coords1 = coords1 + delta_flow.astype(jnp.float32)
-            if up_mask is None:
+            if packed_train:
+                flow_up = upsample_flow_packed(coords1 - coords0, up_mask)
+            elif up_mask is None:
                 flow_up = upflow8(coords1 - coords0)
             else:
                 flow_up = upsample_flow_convex(coords1 - coords0, up_mask)

@@ -15,7 +15,6 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import convert as _convert
 from .flownet2 import FlowNet2, FlowNetS2

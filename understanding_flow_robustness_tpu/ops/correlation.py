@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .interp import avg_pool2, bilinear_sample
+from .interp import bilinear_sample
 
 Array = jax.Array
 

@@ -10,7 +10,6 @@ FlowNet-family at [0,1] native, like the reference's flowNetC branches.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +17,7 @@ import numpy as np
 
 from ..data.loader import pad_batch
 from ..flowviz import write_flo, write_flow_png
-from ..ops.interp import compute_pad, remove_pad
+from ..ops.interp import remove_pad
 
 
 def _predict_padded(model, img1, img2, mode="sintel"):
@@ -145,6 +144,12 @@ def _validate_kitti_sharded(model, dataset, mesh) -> dict:
         for pair in dataset.image_list:
             with Image.open(pair[0]) as im:   # header-only, lazy decode
                 sizes.append((im.height, im.width))
+        # the shortcut assumes __getitem__ returns images at file
+        # resolution (true for the KITTI validation sets: aug_params=None,
+        # no resize) — cross-check the first sample and fall back to full
+        # decode if some future dataset rescales in __getitem__
+        if sizes and tuple(dataset[0][0].shape[:2]) != tuple(sizes[0]):
+            sizes = [dataset[i][0].shape[:2] for i in range(len(dataset))]
     else:
         sizes = [dataset[i][0].shape[:2] for i in range(len(dataset))]
     max_h = max(s[0] for s in sizes)

