@@ -1,0 +1,119 @@
+"""Summarize a jax.profiler trace directory per-op.
+
+Parses the Chrome-format trace (`plugins/profile/*/\*.trace.json.gz`)
+written by jax.profiler.start_trace and aggregates device-track event
+durations by op name, bucketing HLO ops into coarse model components via
+name patterns so a 170 ms train step can be attributed without opening
+TensorBoard (no display in this environment).
+
+Run: python scripts/trace_summarize.py /tmp/raft_train_trace [--top 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+
+BUCKETS = [
+    # (bucket, regex over the HLO op name)
+    ("corr-lookup fwd (pallas)", r"alt_corr|_alt_corr_kernel|custom-call.*corr"),
+    ("corr-lookup bwd (pallas)", r"alt.*bwd|bwd.*corr"),
+    ("conv fwd/bwd", r"^convolution|^%?conv|conv_general|custom-call.*conv"),
+    ("matmul/dot", r"^dot|dot_general"),
+    ("transpose/copy/reshape", r"^transpose|^copy|^reshape|^bitcast"),
+    ("fusion (elementwise)", r"^fusion|^loop_fusion|^input_fusion"),
+    ("reduce", r"^reduce|^all-reduce"),
+    ("dynamic-slice/update", r"dynamic.slice|dynamic.update"),
+]
+
+
+def load_events(trace_dir: str):
+    paths = glob.glob(
+        os.path.join(trace_dir, "plugins", "profile", "*", "*.trace.json.gz")
+    )
+    if not paths:
+        raise SystemExit(f"no trace.json.gz under {trace_dir}")
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", data if isinstance(data, list) else [])
+    # map pid/tid -> track name to keep only device (TPU) compute tracks
+    track = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            track[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {
+        p for p, name in track.items()
+        if re.search(r"TPU|/device:|accelerator", name, re.I)
+    }
+    out = []
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if dev_pids and e.get("pid") not in dev_pids:
+            continue
+        out.append((e["name"], e["dur"]))
+    if not out:  # fall back: keep everything with a duration
+        out = [(e["name"], e["dur"]) for e in events
+               if e.get("ph") == "X" and "dur" in e]
+    return path, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace_dir")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--pattern", default=None,
+                    help="only show ops matching this regex")
+    args = ap.parse_args()
+
+    path, events = load_events(args.trace_dir)
+    per_op = collections.Counter()
+    counts = collections.Counter()
+    for name, dur in events:
+        per_op[name] += dur
+        counts[name] += 1
+    total = sum(per_op.values())
+    print(f"# {path}")
+    print(f"# {len(events)} events, {total/1e3:.2f} ms total device time "
+          f"(all traced iterations)\n")
+
+    if args.pattern:
+        pat = re.compile(args.pattern, re.I)
+        shown = 0
+        for name, dur in per_op.most_common():
+            if pat.search(name):
+                print(f"{dur/1e3:9.3f} ms  x{counts[name]:<5d} {name[:110]}")
+                shown += 1
+                if shown >= args.top:
+                    break
+        return
+
+    bucket_tot = collections.Counter()
+    bucket_res = collections.defaultdict(collections.Counter)
+    for name, dur in per_op.items():
+        for bucket, rex in BUCKETS:
+            if re.search(rex, name, re.I):
+                bucket_tot[bucket] += dur
+                bucket_res[bucket][name] += dur
+                break
+        else:
+            bucket_tot["other"] += dur
+            bucket_res["other"][name] += dur
+
+    print("== coarse buckets ==")
+    for bucket, dur in bucket_tot.most_common():
+        print(f"{dur/1e3:9.3f} ms  {100*dur/total:5.1f}%  {bucket}")
+
+    print(f"\n== top {args.top} ops ==")
+    for name, dur in per_op.most_common(args.top):
+        print(f"{dur/1e3:9.3f} ms  x{counts[name]:<5d} {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -614,3 +614,58 @@ def test_alt_lookup_row_slabs_interpret():
         gr = np.asarray(ref).reshape(B, N, 16, 4, 16)[:, :, :n, :, :n]
         gg = np.asarray(got).reshape(B, N, 16, 4, 16)[:, :, :n, :, :n]
         np.testing.assert_allclose(gg, gr, atol=1e-4)
+
+
+def test_alt_lookup_bwd_row_slabs_interpret():
+    """Backward row slabs (alt_lookup_bwd(slabs=...)): same dispatch
+    contract as the forward — smooth coords take the slab kernel, wild
+    coords the exact full-extent fallback — and both must match the
+    no-slab backward on df1 and every df2 level (modulo f32
+    reduction-tree reassociation; the slab variant also accumulates df2
+    through a dynamic row slice, which must scatter-add exactly)."""
+    from understanding_flow_robustness_tpu.ops.pallas.alt_corr import (
+        _slab_meta,
+        alt_lookup_bwd,
+        default_slabs,
+        pool_fmap_levels,
+    )
+
+    B, H, W, C = 2, 40, 48, 16
+    N = H * W
+    R, L = 4, 4
+    n = 2 * R + 1
+    tile = 128
+    f1 = jnp.asarray(RNG.randn(B, N, C).astype(np.float32))
+    f2 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    levels = tuple(pool_fmap_levels(f2, L))
+    shapes = tuple((l.shape[1], l.shape[2]) for l in levels)
+    slabs = default_slabs(shapes, tile, n)
+    assert slabs[0] > 0, f"slab should activate at this geometry: {slabs}"
+
+    grid = np.asarray(ops.coords_grid(H, W)).reshape(N, 2)[None]
+    smooth = jnp.asarray(
+        (grid + RNG.randn(B, N, 2).astype(np.float32) * 1.5).astype(
+            np.float32))
+    wild = jnp.asarray(
+        (grid + RNG.randn(B, N, 2).astype(np.float32) * 60).astype(
+            np.float32))
+
+    g = np.zeros((B, N, 16, L, 16), np.float32)
+    g[:, :, :n, :, :n] = RNG.randn(B, N, n, L, n)
+    g = jnp.asarray(g.reshape(B, N, 16, L * 16))
+
+    padn = (-N) % tile
+    for coords, want_all_ok in ((smooth, True), (wild, False)):
+        cpad = jnp.pad(coords, ((0, 0), (0, padn), (0, 0)))
+        _, all_ok = _slab_meta(cpad, N, shapes, slabs, tile, n)
+        assert bool(all_ok) == want_all_ok
+        ref = alt_lookup_bwd(f1, levels, coords, g, R, tile=tile,
+                             interpret=True)
+        got = alt_lookup_bwd(f1, levels, coords, g, R, tile=tile,
+                             interpret=True, slabs=slabs)
+        np.testing.assert_allclose(
+            np.asarray(got[0]), np.asarray(ref[0]), atol=1e-4)
+        for lvl, (a, b) in enumerate(zip(got[1], ref[1])):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4,
+                err_msg=f"df2 level {lvl}")

@@ -704,6 +704,7 @@ def _alt_corr_bwd_pallas(fmap1, fmap2, coords, g, num_levels, radius,
         TILE_P,
         alt_lookup,
         alt_lookup_bwd,
+        default_slabs,
         pool_fmap_levels,
     )
 
@@ -739,8 +740,14 @@ def _alt_corr_bwd_pallas(fmap1, fmap2, coords, g, num_levels, radius,
         g_stacked = gs.reshape(B, N, P, L * P)
     gk = g_stacked.astype(f1.dtype)
 
+    # same flow-following row slabs as the forward (recomputed from the
+    # residual coords at the backward's own tile size): the U window-
+    # weight image is exactly the hat-selector support, so both backward
+    # MXU dots shrink to the band whenever every tile's band fits
+    shapes = tuple((lv.shape[1], lv.shape[2]) for lv in levels)
+    bwd_slabs = default_slabs(shapes, 128, n)
     df1, dlevels = alt_lookup_bwd(f1, levels, cflat, gk, radius,
-                                  interpret=interpret)
+                                  interpret=interpret, slabs=bwd_slabs)
     dfmap1 = (df1 * scale).reshape(B, H, W, C).astype(fmap1.dtype)
     dfmap2 = pool_vjp(tuple(d.astype(jnp.float32) for d in dlevels))[0]
     dfmap2 = dfmap2.astype(fmap2.dtype)

@@ -443,8 +443,7 @@ def alt_corr_features(
     return jnp.concatenate(out, axis=-1).astype(coords.dtype)
 
 
-def _alt_corr_bwd_kernel(cy_ref, cx_ref, f1_ref, g_ref, *rest, shapes, tq,
-                         n, sel_dtype):
+def _alt_corr_bwd_kernel(*refs, shapes, slabs, tq, n, tiles, sel_dtype):
     """Backward for the fused lookup, f1/f2 cotangents.
 
     Given the output cotangent g (tq, P, L*P), each level folds it into a
@@ -454,8 +453,23 @@ def _alt_corr_bwd_kernel(cy_ref, cx_ref, f1_ref, g_ref, *rest, shapes, tq,
       df2_l[h,w,c] += sum_q U[q,h,w] * f1[q,c]        (hl-batched MXU)
     df2 accumulates across the query-tile grid into a revisited block.
     The volume is never materialized — same property as the forward.
-    """
+
+    ``slabs[l] > 0`` enables the same flow-following ROW SLAB as the
+    forward kernel (same ``_slab_meta`` origins): U's rows are exactly
+    the hat-selector support, so both MXU dots and the srow build shrink
+    to the ``slabs[l]``-row band; df2 is zero-initialized once per batch
+    item and the band accumulated through a dynamic row slice of the
+    VMEM-resident block.  Like the forward, the slab variant is only
+    dispatched when the host-side predicate says every tile's band fits
+    (the ``lax.cond`` in ``alt_lookup_bwd``)."""
     L = len(shapes)
+    n_slab = sum(1 for s in slabs if s)
+    if n_slab:
+        meta_ref, cy_ref, cx_ref, f1_ref, g_ref = refs[:5]
+        rest = refs[5:]
+    else:
+        cy_ref, cx_ref, f1_ref, g_ref = refs[:4]
+        rest = refs[4:]
     f2_refs = rest[:L]
     df1_ref = rest[L]
     df2_refs = rest[L + 1:]
@@ -466,12 +480,24 @@ def _alt_corr_bwd_kernel(cy_ref, cx_ref, f1_ref, g_ref, *rest, shapes, tq,
     cx0 = cx_ref[0]
 
     df1_acc = jnp.zeros((tq, C), jnp.float32)
+    si = 0
     for lvl, (hl, wl) in enumerate(shapes):
         inv = 1.0 / (2 ** lvl)
         cy = jnp.clip(cy0 * inv - n // 2, -2.0 * TILE_P, hl + 2.0)
         cx = jnp.clip(cx0 * inv - n // 2, -2.0 * TILE_P, wl + 2.0)
+        sh = slabs[lvl]
+        if sh:
+            base = (pl.program_id(0) * tiles + pl.program_id(1)) * n_slab
+            oy = meta_ref[base + si]
+            si += 1
+            cy = cy - oy.astype(jnp.float32)
+            f2blk = f2_refs[lvl][0, pl.ds(oy, sh), :, :]
+            eh = sh
+        else:
+            f2blk = f2_refs[lvl][0]
+            eh = hl
         scol = _hat_selector(cx, wl, tq, sel_dtype)
-        srow = _hat_selector(cy, hl, tq, sel_dtype)
+        srow = _hat_selector(cy, eh, tq, sel_dtype)
 
         g_l = g_ref[0][:, :, lvl * TILE_P:(lvl + 1) * TILE_P].astype(
             sel_dtype)  # (tq, P[t], P[s])
@@ -484,51 +510,69 @@ def _alt_corr_bwd_kernel(cy_ref, cx_ref, f1_ref, g_ref, *rest, shapes, tq,
             srow, tmp,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=prec,
-        ).astype(sel_dtype)  # (tq, Hl, Wl)
-        Uh = jnp.transpose(U, (1, 0, 2))  # (Hl, tq, Wl)
+        ).astype(sel_dtype)  # (tq, EH, Wl)
+        Uh = jnp.transpose(U, (1, 0, 2))  # (EH, tq, Wl)
 
         t1 = lax.dot_general(
-            Uh, f2_refs[lvl][0],
+            Uh, f2blk,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=prec,
-        )  # (Hl, tq, C)
+        )  # (EH, tq, C)
         df1_acc = df1_acc + jnp.sum(t1, axis=0)
 
-        f1e = jnp.broadcast_to(f1t[None], (hl, tq, C))
+        f1e = jnp.broadcast_to(f1t[None], (eh, tq, C))
         d2 = lax.dot_general(
             Uh, f1e,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=prec,
-        )  # (Hl, Wl, C)
+        )  # (EH, Wl, C)
 
-        @pl.when(pl.program_id(1) == 0)
-        def _():
-            df2_refs[lvl][0] = d2
+        if sh:
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                df2_refs[lvl][0] = jnp.zeros((hl, wl, C), jnp.float32)
 
-        @pl.when(pl.program_id(1) > 0)
-        def _():
-            df2_refs[lvl][0] = df2_refs[lvl][0] + d2
+            cur = df2_refs[lvl][0, pl.ds(oy, sh), :, :]
+            df2_refs[lvl][0, pl.ds(oy, sh), :, :] = cur + d2
+        else:
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                df2_refs[lvl][0] = d2
+
+            @pl.when(pl.program_id(1) > 0)
+            def _():
+                df2_refs[lvl][0] = df2_refs[lvl][0] + d2
 
     df1_ref[0] = df1_acc
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "tile", "interpret")
+    jax.jit, static_argnames=("radius", "tile", "interpret", "slabs")
 )
 def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
                    g: Array, radius: int, tile: int = 128,
-                   interpret: bool = False):
+                   interpret: bool = False,
+                   slabs: tuple[int, ...] | None = None):
     """f1/f2 cotangents of ``alt_lookup``.
 
     g: (B, N, P, L*P) cotangent in the forward's lane-stacked layout
     (entries at window positions >= 2r+1 must be zero — they are, for both
     real consumers).  Returns (df1 (B, N, C) f32, [df2_l (B, Hl, Wl, C)
     f32 per level]).
+
+    slabs: per-level row-slab heights (``default_slabs(shapes, tile, n)``
+    — note the BWD tile, not the forward's); same dispatch contract as
+    ``alt_lookup``: a host-side exact needed-row test picks the slab
+    kernel iff every tile's band fits, else the full-extent kernel —
+    identical values modulo f32 reduction-tree reassociation.
     """
     n = 2 * radius + 1
     B, N, C = f1.shape
     shapes = tuple((f.shape[1], f.shape[2]) for f in f2_levels)
     L = len(shapes)
+    if slabs is None:
+        slabs = (0,) * L
+    n_slab = sum(1 for s in slabs if s)
 
     padn = (-N) % tile
     if padn:
@@ -541,46 +585,63 @@ def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
     cy = coords[..., 1].astype(jnp.float32)[..., None, None]
     sel_dtype = f1.dtype if f1.dtype == jnp.bfloat16 else jnp.float32
 
-    outs = pl.pallas_call(
-        functools.partial(
-            _alt_corr_bwd_kernel, shapes=shapes, tq=tile, n=n,
-            sel_dtype=sel_dtype,
-        ),
-        grid=(B, np_ // tile),
-        in_specs=[
-            pl.BlockSpec((1, tile, 1, 1), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 1, 1), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, TILE_P, L * TILE_P),
-                         lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [
-            pl.BlockSpec((1, hl, wl, C), lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for hl, wl in shapes
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [
-            pl.BlockSpec((1, hl, wl, C), lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for hl, wl in shapes
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, np_, C), jnp.float32),
-        ] + [
-            jax.ShapeDtypeStruct((B,) + sh + (C,), jnp.float32)
-            for sh in shapes
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(cy, cx, f1, g, *f2_levels)
+    def run(slabs_, meta_flat):
+        has_meta = any(slabs_)
+        meta_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] if has_meta else []
+        )
+        meta_args = (meta_flat,) if has_meta else ()
+        return pl.pallas_call(
+            functools.partial(
+                _alt_corr_bwd_kernel, shapes=shapes, slabs=slabs_, tq=tile,
+                n=n, tiles=np_ // tile, sel_dtype=sel_dtype,
+            ),
+            grid=(B, np_ // tile),
+            in_specs=meta_specs + [
+                pl.BlockSpec((1, tile, 1, 1), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, 1, 1), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, TILE_P, L * TILE_P),
+                             lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec((1, hl, wl, C), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for hl, wl in shapes
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec((1, hl, wl, C), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for hl, wl in shapes
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, np_, C), jnp.float32),
+            ] + [
+                jax.ShapeDtypeStruct((B,) + sh + (C,), jnp.float32)
+                for sh in shapes
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*meta_args, cy, cx, f1, g, *f2_levels)
+
+    if n_slab:
+        oy, all_ok = _slab_meta(coords, N, shapes, slabs, tile, n)
+        outs = lax.cond(
+            all_ok,
+            lambda m: run(slabs, m),
+            lambda m: run((0,) * L, m),
+            oy.reshape(-1),
+        )
+    else:
+        outs = run(slabs, None)
 
     df1 = outs[0][:, :N]
     return df1, list(outs[1:])
