@@ -544,6 +544,34 @@ def upflow8(flow: Array) -> Array:
     return 8.0 * resize_bilinear(flow, 8 * H, 8 * W, align_corners=True)
 
 
+def scale_flow_head(variables, scale: float):
+    """Variables with the update block's FlowHead output conv scaled.
+
+    Random-init RAFT iterates average ~150 px after 12 GRU iterations —
+    far wilder than trained checkpoints (5-40 px mean flow on KITTI/
+    Sintel, the magnitudes the reference's eval tables operate at).
+    FlowHead's conv2 is linear (no activation after it,
+    raft_model.py::FlowHead), so scaling its kernel+bias shrinks every
+    delta-flow by ``scale``, putting the recurrent iterates at
+    checkpoint-like magnitudes for drift / slab-path measurements when no
+    zoo checkpoint is reachable (zero-egress environment).  Tree
+    structure, names and shapes are unchanged; the input tree is not
+    mutated (containers are rebuilt along the edited path)."""
+
+    def _set(d, path):
+        d = dict(d)
+        if len(path) == 1:
+            leaf = dict(d[path[0]])
+            leaf["kernel"] = leaf["kernel"] * scale
+            leaf["bias"] = leaf["bias"] * scale
+            d[path[0]] = leaf
+        else:
+            d[path[0]] = _set(d[path[0]], path[1:])
+        return d
+
+    return _set(variables, ("params", "update_block", "flow_head", "conv2"))
+
+
 class RAFT(nn.Module):
     """models/raft/raft.py:25-233.
 

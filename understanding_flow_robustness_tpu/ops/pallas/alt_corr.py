@@ -135,7 +135,10 @@ def _alt_corr_kernel(*refs, shapes, slabs, tq, n,
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # (sh, tq, Wl)
-        corr = jnp.transpose(corrH, (1, 0, 2)).astype(sel_dtype)
+        # cast BEFORE the major-dims transpose: rounding commutes with a
+        # transpose (bit-identical output) and the copy moves bf16, not
+        # f32 — half the VMEM traffic on the kernel's largest intermediate
+        corr = jnp.transpose(corrH.astype(sel_dtype), (1, 0, 2))
 
         scol = _hat_selector(cx, wl, tq, sel_dtype, deriv=(deriv == "x"))
         srow = _hat_selector(cy, sh, tq, sel_dtype, deriv=(deriv == "y"))
