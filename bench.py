@@ -77,11 +77,24 @@ def render_markdown(result: dict) -> str:
         "| Metric | v5e (1 chip) | PyTorch-GPU baseline | Factor |",
         "|---|---|---|---|",
     ]
+    missing = []
     for key, name, base in TABLE_ROWS:
-        value, unit, vs = flat[key]
+        row = flat.get(key)
+        if row is None:
+            # pre-round-3 artifacts predate some metrics (e.g.
+            # raft_wildflow); skip the row with a note instead of a bare
+            # KeyError so `update_perf.py BENCH_r02.json` stays usable
+            missing.append(key)
+            continue
+        value, unit, vs = row
         lines.append(f"| {name} | **{value:g} {unit}** | {base} "
                      f"| **{vs:g}×** |")
-    return "\n".join(lines) + "\n"
+    out = "\n".join(lines) + "\n"
+    if missing:
+        out += ("\n*(artifact predates metric(s) "
+                + ", ".join(f"`{m}`" for m in missing)
+                + " — re-run bench.py for the full table)*\n")
+    return out
 
 RAFT_GPU_BASELINE = 10.0       # pairs/s, see module docstring
 FLOWNETC_GPU_BASELINE = 28.0   # pairs/s
@@ -96,8 +109,102 @@ BATCH = 8
 H, W = 384, 1280
 ITERS = 20
 
+# Calibrated-headline operating band: trained checkpoints drive 5-40 px
+# recurrent iterates (the regime the GPU denominator was measured in);
+# the calibration is *verified* at bench geometry, not asserted (ADVICE r3)
+CAL_BAND = (5.0, 40.0)
+
+
+def make_inputs(batch=BATCH, h=H, w=W, seed=0):
+    rng = np.random.RandomState(seed)
+    img1 = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32))
+    return img1, img2
+
+
+def measure_raft(n=ITERS, batch=BATCH):
+    """(calibrated pairs/s, wild pairs/s, calibrated mean |flow| px).
+
+    Measured at the TRAINED-CHECKPOINT operating point: the 10 pairs/s
+    GPU denominator (RAFT paper) was measured with trained weights,
+    whose recurrent iterates are smooth 5-40 px flows.  Raw random init
+    drives ~150 px spatially-wild iterates — a regime no deployed
+    checkpoint operates in — which disables the flow-following slab
+    path (PERF.md "Flow-following row slabs"); the headline therefore
+    scales the FlowHead so iterates land at checkpoint-like magnitudes
+    (models.raft_model.scale_flow_head — same operating point as the
+    PERF.md drift measurement), and the raw-random-init number ships
+    alongside as the `raft_wildflow` worst-case metric.  The returned
+    mean-|flow| is measured at BENCH geometry so the calibration claim is
+    checked where it is used, not at the 64x64 scale-search geometry.
+    """
+    from understanding_flow_robustness_tpu.models import fetch_model
+    from understanding_flow_robustness_tpu.models.raft_model import (
+        scale_flow_head,
+    )
+    from understanding_flow_robustness_tpu.utils.benchmark import timed_loop
+
+    img1, img2 = make_inputs(batch)
+    raft = fetch_model("RAFT", pretrained_path=None, init_size=(128, 128))
+    vcal = scale_flow_head(raft.variables, 0.05)
+    flow = jax.jit(raft.predict_fn)(vcal, img1[:1], img2[:1])
+    cal_mag = float(jnp.mean(jnp.linalg.norm(
+        flow.astype(jnp.float32), axis=-1)))
+    dt = timed_loop(lambda a, b, v: raft.predict_fn(v, a, b),
+                    (img1, img2, vcal), n=n)
+    cal_pairs = batch / dt
+    dt = timed_loop(lambda a, b, v: raft.predict_fn(v, a, b),
+                    (img1, img2, raft.variables), n=n)
+    wild_pairs = batch / dt
+    return cal_pairs, wild_pairs, cal_mag
+
+
+def measure_train_step(n=5):
+    """RAFT train-step throughput, frames/s (batch 4 @ 288x960)."""
+    from understanding_flow_robustness_tpu.models import fetch_model
+    from understanding_flow_robustness_tpu.training import (
+        fetch_optimizer,
+        make_train_step,
+    )
+    from understanding_flow_robustness_tpu.utils.benchmark import timed_loop
+
+    rng = np.random.RandomState(0)
+    tb, th, tw = 4, 288, 960
+    tx, _ = fetch_optimizer(lr=1e-4, num_steps=1000)
+    # train module: batch_pad_encoders tiles the batch-4 cnet to 8 (XLA's
+    # batch-4 conv strategy is pathological on v5e — see RAFT.batched);
+    # params/stats are structurally identical to the inference module.
+    # make_train_step auto-enables the packed RAFT loss path on TPU.
+    raft_tr = fetch_model("RAFT", pretrained_path=None,
+                          init_size=(128, 128), batch_pad_encoders=True)
+    tparams = raft_tr.variables["params"]
+    tstats = raft_tr.variables.get("batch_stats", {})
+    topt = tx.init(tparams)
+    tstep = jax.jit(make_train_step(raft_tr.module, tx, loss_type="sequence",
+                                    is_raft=True))
+    tbatch = (
+        jnp.asarray(rng.rand(tb, th, tw, 3).astype(np.float32)),
+        jnp.asarray(rng.rand(tb, th, tw, 3).astype(np.float32)),
+        jnp.asarray(rng.randn(tb, th, tw, 2).astype(np.float32)),
+        jnp.ones((tb, th, tw), jnp.float32),
+    )
+
+    def train_once(i1, i2, fl, va, p, o, s):
+        batch = {"image1": i1, "image2": i2, "flow": fl, "valid": va}
+        np_, no_, _, m = tstep(p, o, s, batch)
+        # return the UPDATED PARAMS too: timed_loop folds every output
+        # leaf into its carry, so this keeps the backward pass + optimizer
+        # update live — returning only the loss lets XLA dead-code-
+        # eliminate the whole VJP and time a forward-only step
+        return np_, m["loss"]
+
+    dt = timed_loop(train_once, tbatch + (tparams, topt, tstats), n=n)
+    return tb / dt
+
 
 def main():
+    import sys
+
     from understanding_flow_robustness_tpu.attacks.patch_attack import (
         PatchAttackConfig,
         make_patch_attack_step,
@@ -110,32 +217,19 @@ def main():
 
     enable_compilation_cache()
     rng = np.random.RandomState(0)
-    img1 = jnp.asarray(rng.rand(BATCH, H, W, 3).astype(np.float32))
-    img2 = jnp.asarray(rng.rand(BATCH, H, W, 3).astype(np.float32))
+    img1, img2 = make_inputs()
 
     # --- headline: RAFT-12 inference (fused on-demand corr lookup) ---
-    # Measured at the TRAINED-CHECKPOINT operating point: the 10 pairs/s
-    # GPU denominator (RAFT paper) was measured with trained weights,
-    # whose recurrent iterates are smooth 5-40 px flows.  Raw random init
-    # drives ~150 px spatially-wild iterates — a regime no deployed
-    # checkpoint operates in — which disables the flow-following slab
-    # path (PERF.md "Flow-following row slabs"); the headline therefore
-    # scales the FlowHead so iterates land at checkpoint-like magnitudes
-    # (models.raft_model.scale_flow_head — same operating point as the
-    # PERF.md drift measurement), and the raw-random-init number ships
-    # alongside as the `raft_wildflow` worst-case metric.
-    from understanding_flow_robustness_tpu.models.raft_model import (
-        scale_flow_head,
-    )
-
-    raft = fetch_model("RAFT", pretrained_path=None, init_size=(128, 128))
-    vcal = scale_flow_head(raft.variables, 0.05)
-    dt = timed_loop(lambda a, b, v: raft.predict_fn(v, a, b),
-                    (img1, img2, vcal), n=ITERS)
-    raft_pairs = BATCH / dt
-    dt = timed_loop(lambda a, b, v: raft.predict_fn(v, a, b),
-                    (img1, img2, raft.variables), n=ITERS)
-    raft_wild_pairs = BATCH / dt
+    raft_pairs, raft_wild_pairs, cal_mag = measure_raft()
+    cal_in_band = CAL_BAND[0] <= cal_mag <= CAL_BAND[1]
+    if not cal_in_band:
+        print(
+            f"WARNING: calibrated RAFT mean |flow| = {cal_mag:.1f} px is "
+            f"outside the {CAL_BAND} band the headline's operating-point "
+            "claim rests on — treat raft_kitti as uncalibrated "
+            "(raft_wildflow is the load-bearing number)",
+            file=sys.stderr,
+        )
 
     # --- FlowNetC inference at KITTI-2012 eval geometry ---
     # (fast model: longer loop so the differencing noise stays small)
@@ -180,42 +274,7 @@ def main():
     pwc_pairs = BATCH / dt
 
     # --- RAFT adversarial-finetuning train step (batch 4 @ 288x960) ---
-    from understanding_flow_robustness_tpu.training import (
-        fetch_optimizer,
-        make_train_step,
-    )
-
-    tb, th, tw = 4, 288, 960
-    tx, _ = fetch_optimizer(lr=1e-4, num_steps=1000)
-    # train module: batch_pad_encoders tiles the batch-4 cnet to 8 (XLA's
-    # batch-4 conv strategy is pathological on v5e — see RAFT.batched);
-    # params/stats are structurally identical to the inference module.
-    # make_train_step auto-enables the packed RAFT loss path on TPU.
-    raft_tr = fetch_model("RAFT", pretrained_path=None,
-                          init_size=(128, 128), batch_pad_encoders=True)
-    tparams = raft_tr.variables["params"]
-    tstats = raft_tr.variables.get("batch_stats", {})
-    topt = tx.init(tparams)
-    tstep = jax.jit(make_train_step(raft_tr.module, tx, loss_type="sequence",
-                                    is_raft=True))
-    tbatch = (
-        jnp.asarray(rng.rand(tb, th, tw, 3).astype(np.float32)),
-        jnp.asarray(rng.rand(tb, th, tw, 3).astype(np.float32)),
-        jnp.asarray(rng.randn(tb, th, tw, 2).astype(np.float32)),
-        jnp.ones((tb, th, tw), jnp.float32),
-    )
-
-    def train_once(i1, i2, fl, va, p, o, s):
-        batch = {"image1": i1, "image2": i2, "flow": fl, "valid": va}
-        np_, no_, _, m = tstep(p, o, s, batch)
-        # return the UPDATED PARAMS too: timed_loop folds every output
-        # leaf into its carry, so this keeps the backward pass + optimizer
-        # update live — returning only the loss lets XLA dead-code-
-        # eliminate the whole VJP and time a forward-only step
-        return np_, m["loss"]
-
-    dt = timed_loop(train_once, tbatch + (tparams, topt, tstats), n=5)
-    train_frames = tb / dt
+    train_frames = measure_train_step()
 
     print(
         json.dumps(
@@ -224,6 +283,8 @@ def main():
                 "value": round(raft_pairs, 2),
                 "unit": "frame-pairs/s",
                 "vs_baseline": round(raft_pairs / RAFT_GPU_BASELINE, 2),
+                "calibration_mean_flow_px": round(cal_mag, 1),
+                "calibration_in_band": cal_in_band,
                 "extra_metrics": [
                     {
                         "metric": "raft_wildflow_384x1280_frame_pairs"

@@ -115,12 +115,21 @@ try:
     v = jax.jit(m32.init)(jax.random.PRNGKey(0),
                           jnp.zeros((1, 64, 64, 3)),
                           jnp.zeros((1, 64, 64, 3)))
+    mag = float("nan")
     for s in (0.1, 0.05, 0.02):
         vs = scale_flow_head(v, s)
         mag = _raft_drift_case(
             f"RAFT (mixed, flow_head x{s})", m32, m16, vs, a, b)
         if 5.0 <= mag <= 40.0:
             break
+    else:
+        # explicit failure marker: without it the last row is
+        # indistinguishable from a successful calibration and PERF.md
+        # could quote an out-of-band operating point (ADVICE r3)
+        print(json.dumps({"model": "RAFT calibrated",
+                          "calibration_failed": True,
+                          "flow_mag_mean": round(mag, 3),
+                          "target_band_px": [5.0, 40.0]}), flush=True)
 except Exception as e:  # noqa: BLE001
     print(json.dumps({"model": "RAFT calibrated", "error": repr(e)[:200]}),
           flush=True)

@@ -19,4 +19,5 @@ exec python -m pytest \
     "tests/test_ops_correlation.py::test_alt_corr_features_on_tpu" \
     "tests/test_ops_correlation.py::test_raft_alt_corr_matches_volume_on_tpu" \
     "tests/test_model_parity.py::test_raft_feature_taps_compact_on_tpu" \
+    "tests/test_tpu_perf_guard.py" \
     -q -rs "$@"

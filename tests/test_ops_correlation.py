@@ -669,3 +669,125 @@ def test_alt_lookup_bwd_row_slabs_interpret():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-4,
                 err_msg=f"df2 level {lvl}")
+
+
+def test_alt_lookup_sorted_tiles_interpret():
+    """Sorted-tile middle branch (alt_lookup(sort_fallback=True)): flows
+    whose row-major tiles overflow their slabs but whose FLOW-Y-SORTED
+    tiles fit must match the no-slab kernel on the real window lanes, and
+    truly iid-wild flows (sorted bands still too broad at this tiny
+    geometry) must fall through to the exact full-extent kernel — the
+    permutation must round-trip in both cases."""
+    from understanding_flow_robustness_tpu.ops.pallas.alt_corr import (
+        _slab_meta,
+        _sort_order,
+        alt_lookup,
+        default_slabs,
+        pool_fmap_levels,
+    )
+
+    rng = np.random.RandomState(7)  # local: band margins are a few rows,
+    #                                 so this test must not depend on how
+    #                                 earlier tests advanced the file RNG
+    B, H, W, C = 2, 40, 48, 16
+    N = H * W
+    n = 9
+    tile = 256
+    f1 = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    levels = tuple(pool_fmap_levels(f2, 4))
+    shapes = tuple((l.shape[1], l.shape[2]) for l in levels)
+    slabs = default_slabs(shapes, tile, n)
+    assert slabs[0] > 0
+
+    grid = np.asarray(ops.coords_grid(H, W)).reshape(N, 2)[None]
+    # +-20 px y-sign flow: every row-major tile mixes both signs (band
+    # ~47 rows > slab) but sorting by cy packs each tile into a tight
+    # band that fits
+    sign = np.where(rng.rand(B, N) < 0.5, -20.0, 20.0).astype(np.float32)
+    bimodal = grid + np.stack(
+        [rng.randn(B, N).astype(np.float32) * 0.5, sign], axis=-1)
+    # sort-proof: push all but 100 queries out of volume (their bands are
+    # empty, hence unconstraining) and spread the 100 survivors over the
+    # full row range — after sorting they land in ONE tile whose band
+    # (all hl rows) exceeds the slab, forcing the sorted-full branch.
+    # (Plain iid sigma=60 does NOT defeat the sort: bands clip to the
+    # volume, so sorted tiles span <= hl/T + n rows and still fit.)
+    concentrated = grid.copy().astype(np.float32)
+    concentrated[..., 1] = -200.0
+    keep = rng.choice(N, 100, replace=False)
+    concentrated[:, keep, 1] = np.linspace(0, H - 1, 100, dtype=np.float32)
+
+    padn = (-N) % tile
+    for coords_np, sorted_ok in ((bimodal, True), (concentrated, False)):
+        coords = jnp.asarray(coords_np.astype(np.float32))
+        cpad = jnp.pad(coords, ((0, 0), (0, padn), (0, 0)))
+        _, direct_ok = _slab_meta(cpad, N, shapes, slabs, tile, n)
+        assert not bool(direct_ok), "both cases must miss the direct slabs"
+        order, _ = _sort_order(cpad, N)
+        cs = jnp.take_along_axis(cpad, order[..., None], axis=1)
+        _, ok2 = _slab_meta(cs, N, shapes, slabs, tile, n)
+        assert bool(ok2) == sorted_ok, (
+            f"sorted-band predicate {bool(ok2)} != expected {sorted_ok}")
+        ref = alt_lookup(f1, levels, coords, 4, interpret=True)
+        got = alt_lookup(f1, levels, coords, 4, interpret=True,
+                         slabs=slabs, sort_fallback=True)
+        gr = np.asarray(ref).reshape(B, N, 16, 4, 16)[:, :, :n, :, :n]
+        gg = np.asarray(got).reshape(B, N, 16, 4, 16)[:, :, :n, :, :n]
+        np.testing.assert_allclose(gg, gr, atol=1e-4)
+
+
+def test_alt_lookup_bwd_sorted_tiles_interpret():
+    """Backward sorted-tile branch: df1 must ride the inverse permutation
+    back to query order, df2 (fmap2-space accumulation) must match the
+    unsorted backward directly."""
+    from understanding_flow_robustness_tpu.ops.pallas.alt_corr import (
+        _slab_meta,
+        _sort_order,
+        alt_lookup_bwd,
+        default_slabs,
+        pool_fmap_levels,
+    )
+
+    rng = np.random.RandomState(7)  # local, see forward sorted test
+    B, H, W, C = 2, 40, 48, 16
+    N = H * W
+    R, L = 4, 4
+    n = 2 * R + 1
+    tile = 128
+    f1 = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    levels = tuple(pool_fmap_levels(f2, L))
+    shapes = tuple((l.shape[1], l.shape[2]) for l in levels)
+    slabs = default_slabs(shapes, tile, n)
+    assert slabs[0] > 0
+
+    grid = np.asarray(ops.coords_grid(H, W)).reshape(N, 2)[None]
+    sign = np.where(rng.rand(B, N) < 0.5, -20.0, 20.0).astype(np.float32)
+    bimodal = jnp.asarray((grid + np.stack(
+        [rng.randn(B, N).astype(np.float32) * 0.5, sign], axis=-1)
+    ).astype(np.float32))
+
+    g = np.zeros((B, N, 16, L, 16), np.float32)
+    g[:, :, :n, :, :n] = rng.randn(B, N, n, L, n)
+    g = jnp.asarray(g.reshape(B, N, 16, L * 16))
+
+    padn = (-N) % tile
+    cpad = jnp.pad(bimodal, ((0, 0), (0, padn), (0, 0)))
+    _, direct_ok = _slab_meta(cpad, N, shapes, slabs, tile, n)
+    assert not bool(direct_ok)
+    order, _ = _sort_order(cpad, N)
+    cs = jnp.take_along_axis(cpad, order[..., None], axis=1)
+    _, ok2 = _slab_meta(cs, N, shapes, slabs, tile, n)
+    assert bool(ok2), "sorted bands must fit at this geometry"
+
+    ref = alt_lookup_bwd(f1, levels, bimodal, g, R, tile=tile,
+                         interpret=True)
+    got = alt_lookup_bwd(f1, levels, bimodal, g, R, tile=tile,
+                         interpret=True, slabs=slabs, sort_fallback=True)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), atol=1e-4)
+    for lvl, (a, b) in enumerate(zip(got[1], ref[1])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4,
+            err_msg=f"df2 level {lvl}")

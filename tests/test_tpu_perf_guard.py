@@ -1,0 +1,105 @@
+"""On-chip end-to-end throughput guard (VERDICT round-3 item #2).
+
+Round 3 shipped a 5-line Pallas "optimization" (cast-before-transpose in
+ops/pallas/alt_corr.py) that silently cost RAFT 27% end-to-end — nothing
+between a kernel micro-edit and the next driver round measured the e2e
+number.  This test closes that hole: it runs the SAME closures bench.py
+measures (``bench.measure_raft`` / ``bench.measure_train_step``) and
+asserts throughput within tolerance of the best value any committed
+BENCH_r*.json artifact has recorded.  A kernel edit that regresses the
+flagship path now fails a test instead of waiting for the judge.
+
+Best-over-artifacts, not newest: the round-3 artifact itself recorded the
+regressed numbers, so "within 15% of the newest artifact" would have
+waved the regression through.  Legitimate slowdowns (a semantics change
+that costs real work) must update GUARD_FLOOR_OVERRIDES with a comment.
+
+TPU-gated — skips on the CPU backend; scripts/run_tpu_tests.sh runs it.
+Tolerance 15%: run-to-run jitter of the median-of-differences harness is
+a few percent; the regression class this guards against was 27%.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+import jax
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="e2e throughput guard needs the real chip (UFR_TPU_TESTS lane)",
+)
+
+TOL = 0.15
+
+# metric key -> explicit floor (pairs/s or frames/s), overriding the
+# best-artifact floor.  Add an entry ONLY for an intentional, measured
+# slowdown, with a comment saying what bought it.
+GUARD_FLOOR_OVERRIDES: dict[str, float] = {}
+
+GUARDED = (
+    "raft_kitti_384x1280_frame_pairs_per_sec_per_chip",
+    "raft_wildflow_384x1280_frame_pairs_per_sec_per_chip",
+    "raft_train_step_288x960_frames_per_sec_per_chip",
+)
+
+
+def best_artifact_values() -> dict[str, float]:
+    """Best recorded value per guarded metric across every BENCH_r*.json."""
+    from bench import flatten_metrics
+
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        data = json.load(open(path))
+        flat = flatten_metrics(data.get("parsed", data))
+        for key in GUARDED:
+            if key in flat:
+                best[key] = max(best.get(key, 0.0), flat[key][0])
+    best.update(GUARD_FLOOR_OVERRIDES)
+    return best
+
+
+def test_raft_inference_throughput_guard():
+    import bench
+
+    best = best_artifact_values()
+    cal_floor = best.get(GUARDED[0])
+    wild_floor = best.get(GUARDED[1])
+    if cal_floor is None and wild_floor is None:
+        pytest.skip("no BENCH_r*.json artifact to guard against")
+    cal, wild, cal_mag = bench.measure_raft(n=10)
+    msgs = []
+    if cal_floor and cal < (1 - TOL) * cal_floor:
+        msgs.append(f"calibrated {cal:.2f} pairs/s < best-artifact "
+                    f"{cal_floor:.2f} - {TOL:.0%}")
+    if wild_floor and wild < (1 - TOL) * wild_floor:
+        msgs.append(f"wild-flow {wild:.2f} pairs/s < best-artifact "
+                    f"{wild_floor:.2f} - {TOL:.0%}")
+    assert not msgs, "RAFT e2e regression: " + "; ".join(msgs) + (
+        " — bisect the kernel/model change before shipping"
+    )
+    # the calibration claim must hold where the headline is measured
+    assert bench.CAL_BAND[0] <= cal_mag <= bench.CAL_BAND[1], (
+        f"calibrated mean |flow| {cal_mag:.1f} px outside {bench.CAL_BAND}"
+    )
+
+
+def test_train_step_throughput_guard():
+    import bench
+
+    best = best_artifact_values()
+    floor = best.get(GUARDED[2])
+    if floor is None:
+        pytest.skip("no train-step metric in any BENCH_r*.json artifact")
+    frames = bench.measure_train_step(n=5)
+    assert frames >= (1 - TOL) * floor, (
+        f"train step {frames:.2f} frames/s < best-artifact {floor:.2f} "
+        f"- {TOL:.0%} — bisect before shipping"
+    )

@@ -745,6 +745,10 @@ def _alt_corr_bwd_pallas(fmap1, fmap2, coords, g, num_levels, radius,
     # weight image is exactly the hat-selector support, so both backward
     # MXU dots shrink to the band whenever every tile's band fits
     shapes = tuple((lv.shape[1], lv.shape[2]) for lv in levels)
+    # sort_fallback measured OFF here too (round 4, train geometry 4 @
+    # 36x120): wild 4.08 ms sorted vs 3.13 unsorted — the f1/g permutation
+    # gathers cost more than the slab saving (see the forward's note in
+    # pallas/alt_corr.py::alt_corr_features)
     bwd_slabs = default_slabs(shapes, 128, n)
     df1, dlevels = alt_lookup_bwd(f1, levels, cflat, gk, radius,
                                   interpret=interpret, slabs=bwd_slabs)

@@ -39,8 +39,12 @@ conv just uses channel index ``t*16 + s``.  Entries with ``s`` or
 ``t >= 2r+1`` are live hat samples that consumers slice off or weight by
 zero (cheaper than masking them in-kernel).
 
-Forward-only: gradients route through the jnp volume formulation via
-custom_vjp in ops.correlation.
+Gradients: ``alt_lookup_bwd`` (this file) is the fused volume-free
+backward — two small window-weight dots fold the cotangent into a
+per-query image U, then hl-batched MXU dots emit df1/df2 with the same
+flow-following row slabs as the forward.  ops.correlation's custom_vjp
+dispatches to it (with a jnp volume formulation kept as the
+correctness-diff fallback).
 """
 
 from __future__ import annotations
@@ -135,10 +139,13 @@ def _alt_corr_kernel(*refs, shapes, slabs, tq, n,
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # (sh, tq, Wl)
-        # cast BEFORE the major-dims transpose: rounding commutes with a
-        # transpose (bit-identical output) and the copy moves bf16, not
-        # f32 — half the VMEM traffic on the kernel's largest intermediate
-        corr = jnp.transpose(corrH.astype(sel_dtype), (1, 0, 2))
+        # transpose the f32 corrH FIRST, cast after.  The "cast before
+        # the transpose, half the VMEM traffic" variant is bit-identical
+        # but 27% slower end-to-end (RAFT 56.5 -> 41.5 pairs/s, bisected
+        # round 4): Mosaic lowers a bf16 major-dims transpose far worse
+        # than the f32 one.  Do not flip this without an e2e re-measure
+        # (tests/test_tpu_perf_guard.py pins the throughput).
+        corr = jnp.transpose(corrH, (1, 0, 2)).astype(sel_dtype)
 
         scol = _hat_selector(cx, wl, tq, sel_dtype, deriv=(deriv == "x"))
         srow = _hat_selector(cy, sh, tq, sel_dtype, deriv=(deriv == "y"))
@@ -245,14 +252,34 @@ def _slab_meta(coords, valid_n, shapes, slabs, tile, n):
     return oy, all_ok
 
 
+def _sort_order(coords, valid_n):
+    """Row-major-stable query order by level-0 window-center y.
+
+    coords: (B, Np, 2) possibly query-padded; padded queries (index >=
+    valid_n) sort to the end so ``_slab_meta``'s trailing-pad assumption
+    keeps holding after the permutation.  Returns (order, inv), both
+    (B, Np) int32 with ``sorted_x = x[order]`` and ``x = sorted_x[inv]``.
+    """
+    B, np_, _ = coords.shape
+    qidx = jnp.arange(np_, dtype=jnp.int32)[None]
+    key = jnp.where(qidx < valid_n, coords[..., 1].astype(jnp.float32),
+                    jnp.float32(3.0e8))
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    iota = jnp.broadcast_to(qidx, order.shape)
+    inv = jnp.zeros_like(order).at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], order].set(iota)
+    return order, inv
+
+
 @functools.partial(
     jax.jit, static_argnames=("radius", "tile", "interpret", "deriv",
-                              "slabs")
+                              "slabs", "sort_fallback")
 )
 def alt_lookup(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
                radius: int, tile: int = 256,
                interpret: bool = False, deriv: str = "none",
-               slabs: tuple[int, ...] | None = None) -> Array:
+               slabs: tuple[int, ...] | None = None,
+               sort_fallback: bool = False) -> Array:
     """Fused lookup over all pyramid levels in one kernel.
 
     f1: (B, N, C) query features, pre-scaled by 1/sqrt(C) (bf16
@@ -270,6 +297,25 @@ def alt_lookup(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
     the full-extent kernel — values are identical either way (modulo f32
     reduction-tree reassociation of the shorter contraction), so the
     fast path is a pure work skip, never a semantics change.
+
+    sort_fallback=True inserts a SORTED-TILE middle branch before the
+    full-extent fallback: when the natural row-major tiles' bands do NOT
+    fit (wild flows — random-weight RAFT iterates, adversarial training
+    flows), queries are permuted into flow-y order, which shrinks every
+    tile's band to ~(total y-range)/T + n + 1 rows regardless of flow
+    magnitude (band endpoints clip to the volume, so sorted bands fit for
+    essentially any real flow), and the slab kernel runs on the permuted
+    queries (output inverse-permuted).  A third lax.cond keeps the exact
+    full-extent kernel for the adversarial residue where even sorted
+    bands exceed the slabs.
+
+    MEASURED OFF in production (round 4, v5e): the kernel-side saving is
+    real (wild 6.02 -> 4.82 ms at RAFT KITTI geometry) but XLA row
+    gathers run at ~145 GB/s, so the (B, N, 16, L*16) inverse-permutation
+    alone costs 1.7-2.2 ms (every formulation tried) and the net is a
+    LOSS (7.60 vs 6.02 ms fwd; 4.08 vs 3.13 ms bwd at train geometry).
+    Kept behind this flag for documentation and for a future backend
+    where gathers ride DMA at line rate.
     """
     n = 2 * radius + 1
     assert n + 1 <= TILE_P, "radius too large for the 16-wide window tile"
@@ -285,15 +331,14 @@ def alt_lookup(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
         coords = jnp.pad(coords, ((0, 0), (0, padn), (0, 0)))
     np_ = f1.shape[1]
 
-    cx = coords[..., 0].astype(jnp.float32)[..., None, None]
-    cy = coords[..., 1].astype(jnp.float32)[..., None, None]
-
     sel_dtype = f1.dtype if f1.dtype == jnp.bfloat16 else jnp.float32
     out_dtype = sel_dtype
     L = len(shapes)
     grid = (B, np_ // tile)
 
-    def run(slabs_, meta_flat):
+    def run(slabs_, meta_flat, cyf, cxf, f1q):
+        cx = cxf[..., None, None]
+        cy = cyf[..., None, None]
         flops = 0
         for lvl, (hl, wl) in enumerate(shapes):
             eh = slabs_[lvl] or hl
@@ -345,18 +390,48 @@ def alt_lookup(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
                 vmem_limit_bytes=96 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(*meta_args, cy, cx, f1, *f2_levels)
+        )(*meta_args, cy, cx, f1q, *f2_levels)
+
+    cxf = coords[..., 0].astype(jnp.float32)
+    cyf = coords[..., 1].astype(jnp.float32)
 
     if n_slab:
         oy, all_ok = _slab_meta(coords, N, shapes, slabs, tile, n)
+
+        def full_branch(_):
+            return run((0,) * L, None, cyf, cxf, f1)
+
+        if sort_fallback:
+            def sorted_branch(_):
+                # only traced into the untaken-cond branch: the argsort +
+                # gathers cost nothing when the direct bands fit
+                order, inv = _sort_order(coords, N)
+                cys = jnp.take_along_axis(cyf, order, axis=1)
+                cxs = jnp.take_along_axis(cxf, order, axis=1)
+                f1s = jnp.take_along_axis(f1, order[..., None], axis=1)
+                cs = jnp.stack([cxs, cys], axis=-1)
+                oy2, ok2 = _slab_meta(cs, N, shapes, slabs, tile, n)
+                out_s = lax.cond(
+                    ok2,
+                    lambda m: run(slabs, m, cys, cxs, f1s),
+                    lambda m: run((0,) * L, m, cys, cxs, f1s),
+                    oy2.reshape(-1),
+                )
+                return jnp.take_along_axis(
+                    out_s, inv[..., None, None], axis=1)
+
+            fallback = sorted_branch
+        else:
+            fallback = full_branch
+
         out = lax.cond(
             all_ok,
-            lambda m: run(slabs, m),
-            lambda m: run((0,) * L, m),
+            lambda m: run(slabs, m, cyf, cxf, f1),
+            fallback,
             oy.reshape(-1),
         )
     else:
-        out = run(slabs, None)
+        out = run(slabs, None, cyf, cxf, f1)
 
     return out[:, :N]
 
@@ -426,6 +501,14 @@ def alt_corr_features(
     cflat = coords.reshape(B, N, 2).astype(jnp.float32)
     shapes = tuple((l.shape[1], l.shape[2]) for l in levels)
     slabs = default_slabs(shapes, 256, n)
+    # sort_fallback measured OFF for production (round 4, v5e, RAFT KITTI
+    # geometry): sorting rescues the slab path for wild flows
+    # (6.02 -> 4.82 ms kernel time) but the (B, N, 16, 64) inverse-
+    # permutation gather runs at ~145 GB/s under XLA (1.7-2.2 ms across
+    # every formulation tried: take_along_axis 3d/4d, flat take axis-0,
+    # scatter) and erases the win: wild 7.60 ms sorted vs 6.02 unsorted.
+    # The mechanism + tests stay for documentation; flip only with an e2e
+    # re-measure.
     stacked = alt_lookup(f1, tuple(levels), cflat, radius,
                          interpret=interpret,
                          slabs=slabs)  # (B, N, P, L*P)
@@ -550,12 +633,14 @@ def _alt_corr_bwd_kernel(*refs, shapes, slabs, tq, n, tiles, sel_dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "tile", "interpret", "slabs")
+    jax.jit, static_argnames=("radius", "tile", "interpret", "slabs",
+                              "sort_fallback")
 )
 def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
                    g: Array, radius: int, tile: int = 128,
                    interpret: bool = False,
-                   slabs: tuple[int, ...] | None = None):
+                   slabs: tuple[int, ...] | None = None,
+                   sort_fallback: bool = False):
     """f1/f2 cotangents of ``alt_lookup``.
 
     g: (B, N, P, L*P) cotangent in the forward's lane-stacked layout
@@ -568,6 +653,12 @@ def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
     ``alt_lookup``: a host-side exact needed-row test picks the slab
     kernel iff every tile's band fits, else the full-extent kernel —
     identical values modulo f32 reduction-tree reassociation.
+
+    sort_fallback: same sorted-tile middle branch as ``alt_lookup`` —
+    and CHEAPER here, because df2 lives in fmap2 space (its cross-tile
+    accumulation is query-order-free) so only df1 needs the inverse
+    permutation; training/attack flows are exactly the wild regime the
+    sort rescues.
     """
     n = 2 * radius + 1
     B, N, C = f1.shape
@@ -584,11 +675,11 @@ def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
         g = jnp.pad(g, ((0, 0), (0, padn), (0, 0), (0, 0)))
     np_ = f1.shape[1]
 
-    cx = coords[..., 0].astype(jnp.float32)[..., None, None]
-    cy = coords[..., 1].astype(jnp.float32)[..., None, None]
     sel_dtype = f1.dtype if f1.dtype == jnp.bfloat16 else jnp.float32
 
-    def run(slabs_, meta_flat):
+    def run(slabs_, meta_flat, cyf, cxf, f1q, gq):
+        cx = cxf[..., None, None]
+        cy = cyf[..., None, None]
         has_meta = any(slabs_)
         meta_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] if has_meta else []
@@ -633,18 +724,50 @@ def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
                 vmem_limit_bytes=96 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(*meta_args, cy, cx, f1, g, *f2_levels)
+        )(*meta_args, cy, cx, f1q, gq, *f2_levels)
+
+    cxf = coords[..., 0].astype(jnp.float32)
+    cyf = coords[..., 1].astype(jnp.float32)
 
     if n_slab:
         oy, all_ok = _slab_meta(coords, N, shapes, slabs, tile, n)
+
+        def full_branch(_):
+            return run((0,) * L, None, cyf, cxf, f1, g)
+
+        if sort_fallback:
+            def sorted_branch(_):
+                order, inv = _sort_order(coords, N)
+                cys = jnp.take_along_axis(cyf, order, axis=1)
+                cxs = jnp.take_along_axis(cxf, order, axis=1)
+                f1s = jnp.take_along_axis(f1, order[..., None], axis=1)
+                gs = jnp.take_along_axis(g, order[..., None, None], axis=1)
+                cs = jnp.stack([cxs, cys], axis=-1)
+                oy2, ok2 = _slab_meta(cs, N, shapes, slabs, tile, n)
+                outs_s = lax.cond(
+                    ok2,
+                    lambda m: run(slabs, m, cys, cxs, f1s, gs),
+                    lambda m: run((0,) * L, m, cys, cxs, f1s, gs),
+                    oy2.reshape(-1),
+                )
+                # df2 accumulates in fmap2 space — query-order-free; only
+                # df1 rides the permutation back
+                df1_s = jnp.take_along_axis(outs_s[0], inv[..., None],
+                                            axis=1)
+                return (df1_s,) + tuple(outs_s[1:])
+
+            fallback = sorted_branch
+        else:
+            fallback = full_branch
+
         outs = lax.cond(
             all_ok,
-            lambda m: run(slabs, m),
-            lambda m: run((0,) * L, m),
+            lambda m: run(slabs, m, cyf, cxf, f1, g),
+            fallback,
             oy.reshape(-1),
         )
     else:
-        outs = run(slabs, None)
+        outs = run(slabs, None, cyf, cxf, f1, g)
 
     df1 = outs[0][:, :N]
     return df1, list(outs[1:])
