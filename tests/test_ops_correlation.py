@@ -791,3 +791,52 @@ def test_alt_lookup_bwd_sorted_tiles_interpret():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4,
             err_msg=f"df2 level {lvl}")
+
+
+def test_alt_lookup_bwd_fallback_tile_interpret():
+    """Mixed-tile backward dispatch (alt_lookup_bwd(fallback_tile=)): the
+    full-extent branch runs at its own (larger) query tile; both the
+    slab-hit (smooth) and full-extent (wild) regimes must match the
+    plain single-tile backward, including the shared larger padding."""
+    from understanding_flow_robustness_tpu.ops.pallas.alt_corr import (
+        alt_lookup_bwd,
+        default_slabs,
+        pool_fmap_levels,
+    )
+
+    rng = np.random.RandomState(11)
+    B, H, W, C = 2, 40, 48, 16
+    N = H * W  # 1920: a 128-multiple but NOT a 256-multiple -> pad path
+    R, L = 4, 4
+    n = 2 * R + 1
+    f1 = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    levels = tuple(pool_fmap_levels(f2, L))
+    shapes = tuple((l.shape[1], l.shape[2]) for l in levels)
+    slabs = default_slabs(shapes, 128, n)
+    assert slabs[0] > 0
+
+    grid = np.asarray(ops.coords_grid(H, W)).reshape(N, 2)[None]
+    smooth = jnp.asarray(
+        (grid + rng.randn(B, N, 2).astype(np.float32) * 1.5).astype(
+            np.float32))
+    wild = jnp.asarray(
+        (grid + rng.randn(B, N, 2).astype(np.float32) * 60).astype(
+            np.float32))
+
+    g = np.zeros((B, N, 16, L, 16), np.float32)
+    g[:, :, :n, :, :n] = rng.randn(B, N, n, L, n)
+    g = jnp.asarray(g.reshape(B, N, 16, L * 16))
+
+    for coords in (smooth, wild):
+        ref = alt_lookup_bwd(f1, levels, coords, g, R, tile=128,
+                             interpret=True)
+        got = alt_lookup_bwd(f1, levels, coords, g, R, tile=128,
+                             interpret=True, slabs=slabs,
+                             fallback_tile=256)
+        np.testing.assert_allclose(
+            np.asarray(got[0]), np.asarray(ref[0]), atol=1e-4)
+        for lvl, (a, b) in enumerate(zip(got[1], ref[1])):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4,
+                err_msg=f"df2 level {lvl}")

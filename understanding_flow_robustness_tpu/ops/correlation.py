@@ -748,10 +748,13 @@ def _alt_corr_bwd_pallas(fmap1, fmap2, coords, g, num_levels, radius,
     # sort_fallback measured OFF here too (round 4, train geometry 4 @
     # 36x120): wild 4.08 ms sorted vs 3.13 unsorted — the f1/g permutation
     # gathers cost more than the slab saving (see the forward's note in
-    # pallas/alt_corr.py::alt_corr_features)
+    # pallas/alt_corr.py::alt_corr_features).  fallback_tile=256: wild
+    # flows (full-extent branch) run 2.09 ms/iter at tile 256 vs 3.37 at
+    # the slab branch's tile 128 (alt_lookup_bwd docstring).
     bwd_slabs = default_slabs(shapes, 128, n)
     df1, dlevels = alt_lookup_bwd(f1, levels, cflat, gk, radius,
-                                  interpret=interpret, slabs=bwd_slabs)
+                                  interpret=interpret, slabs=bwd_slabs,
+                                  fallback_tile=256)
     dfmap1 = (df1 * scale).reshape(B, H, W, C).astype(fmap1.dtype)
     dfmap2 = pool_vjp(tuple(d.astype(jnp.float32) for d in dlevels))[0]
     dfmap2 = dfmap2.astype(fmap2.dtype)

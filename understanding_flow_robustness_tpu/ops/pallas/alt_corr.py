@@ -634,13 +634,14 @@ def _alt_corr_bwd_kernel(*refs, shapes, slabs, tq, n, tiles, sel_dtype):
 
 @functools.partial(
     jax.jit, static_argnames=("radius", "tile", "interpret", "slabs",
-                              "sort_fallback")
+                              "sort_fallback", "fallback_tile")
 )
 def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
                    g: Array, radius: int, tile: int = 128,
                    interpret: bool = False,
                    slabs: tuple[int, ...] | None = None,
-                   sort_fallback: bool = False):
+                   sort_fallback: bool = False,
+                   fallback_tile: int | None = None):
     """f1/f2 cotangents of ``alt_lookup``.
 
     g: (B, N, P, L*P) cotangent in the forward's lane-stacked layout
@@ -658,7 +659,15 @@ def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
     and CHEAPER here, because df2 lives in fmap2 space (its cross-tile
     accumulation is query-order-free) so only df1 needs the inverse
     permutation; training/attack flows are exactly the wild regime the
-    sort rescues.
+    sort rescues.  (Measured OFF in production — see the caller's note.)
+
+    fallback_tile: query-tile size for the FULL-EXTENT branch only.  The
+    two regimes want different tiles (measured on v5e at the RAFT train
+    geometry, 4 @ 36x120): the slab kernel is fastest at tile 128
+    (1.37 ms/iter smooth — less df2-band revisiting), but the full-extent
+    kernel is fastest at tile 256 (wild 2.09 vs 3.37 ms at tile 128 —
+    fewer full-height df2 accumulation passes).  Queries are padded to
+    the larger tile so both branches share output shapes.
     """
     n = 2 * radius + 1
     B, N, C = f1.shape
@@ -668,7 +677,8 @@ def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
         slabs = (0,) * L
     n_slab = sum(1 for s in slabs if s)
 
-    padn = (-N) % tile
+    full_tile = fallback_tile if (fallback_tile and n_slab) else tile
+    padn = (-N) % max(tile, full_tile)
     if padn:
         f1 = jnp.pad(f1, ((0, 0), (0, padn), (0, 0)))
         coords = jnp.pad(coords, ((0, 0), (0, padn), (0, 0)))
@@ -677,7 +687,7 @@ def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
 
     sel_dtype = f1.dtype if f1.dtype == jnp.bfloat16 else jnp.float32
 
-    def run(slabs_, meta_flat, cyf, cxf, f1q, gq):
+    def run(slabs_, meta_flat, cyf, cxf, f1q, gq, tile=tile):
         cx = cxf[..., None, None]
         cy = cyf[..., None, None]
         has_meta = any(slabs_)
@@ -733,7 +743,7 @@ def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
         oy, all_ok = _slab_meta(coords, N, shapes, slabs, tile, n)
 
         def full_branch(_):
-            return run((0,) * L, None, cyf, cxf, f1, g)
+            return run((0,) * L, None, cyf, cxf, f1, g, tile=full_tile)
 
         if sort_fallback:
             def sorted_branch(_):
@@ -747,7 +757,8 @@ def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
                 outs_s = lax.cond(
                     ok2,
                     lambda m: run(slabs, m, cys, cxs, f1s, gs),
-                    lambda m: run((0,) * L, m, cys, cxs, f1s, gs),
+                    lambda m: run((0,) * L, m, cys, cxs, f1s, gs,
+                                  tile=full_tile),
                     oy2.reshape(-1),
                 )
                 # df2 accumulates in fmap2 space — query-order-free; only
