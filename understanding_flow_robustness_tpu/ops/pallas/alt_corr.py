@@ -500,7 +500,16 @@ def alt_corr_features(
 
     cflat = coords.reshape(B, N, 2).astype(jnp.float32)
     shapes = tuple((l.shape[1], l.shape[2]) for l in levels)
-    slabs = default_slabs(shapes, 256, n)
+    # Tile/slab config: 256 + slabs, at EVERY geometry.  A round-4
+    # standalone scan said otherwise — tile 128 won both geometries
+    # (KITTI smooth-slab 4.36 vs 4.82 ms; train-geometry full 0.64 vs
+    # 0.85) — but e2e it was neutral at KITTI (62.45 vs 62.48 pairs/s)
+    # and LOST 28 ms/step at the train geometry (137.1 -> 165.0 ms,
+    # measured twice); the in-graph scheduling/VMEM interaction dominates
+    # sub-ms standalone deltas.  Same lesson as the tile-512 entry in
+    # PERF.md: never ship a lookup-tile change on standalone numbers.
+    tile = 256
+    slabs = default_slabs(shapes, tile, n)
     # sort_fallback measured OFF for production (round 4, v5e, RAFT KITTI
     # geometry): sorting rescues the slab path for wild flows
     # (6.02 -> 4.82 ms kernel time) but the (B, N, 16, 64) inverse-
@@ -510,6 +519,7 @@ def alt_corr_features(
     # The mechanism + tests stay for documentation; flip only with an e2e
     # re-measure.
     stacked = alt_lookup(f1, tuple(levels), cflat, radius,
+                         tile=tile,
                          interpret=interpret,
                          slabs=slabs)  # (B, N, P, L*P)
     if padded:
