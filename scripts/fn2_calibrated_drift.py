@@ -60,14 +60,16 @@ def scale_predict_heads(variables, scale):
     return {**variables, "params": rec(dict(variables["params"]))}
 
 
+# NOTE: round 3's staged C+S1-bf16 build (scripts/fn2_mixed_stage.py) no
+# longer constructs — the experiment measured staged barely better than
+# blanket (3.2 vs 3.57 % at random init) and the knob was dropped; the
+# decision here only needs the blanket-bf16 policy that the bench could
+# actually ship (dtype=jnp.bfloat16).
 m32 = fetch_model("FlowNet2", pretrained_path=None, init_size=(128, 128))
-mmx = fetch_model("FlowNet2", pretrained_path=None, init_size=(128, 128),
-                  mixed_precision=True)
 m16 = fetch_model("FlowNet2", pretrained_path=None, init_size=(128, 128),
                   dtype=jnp.bfloat16)
 
 j32 = jax.jit(m32.predict_fn)
-jmx = jax.jit(mmx.predict_fn)
 j16 = jax.jit(m16.predict_fn)
 
 
@@ -86,16 +88,27 @@ def drift_row(label, jfn, v, f32):
     return row
 
 
+# Unlike RAFT (random init -> ~150 px), FlowNet2's random-init flows are
+# tiny (~1.3 px mean at 384x1280) — the calibration must scale UP into
+# the 5-40 px band.  The head->output map is not exactly linear (scaled
+# early-stage flows change the inter-stage warps), so solve iteratively:
+# estimate the scale from the measured magnitude, then verify.
 calibrated = None
-for s in (0.1, 0.05, 0.02, 0.01):
+f0 = np.asarray(j32(m32.variables, a[:2], b[:2]), np.float32)
+mag0 = float(np.sqrt((f0 ** 2).sum(-1)).mean())
+print(json.dumps({"scale": 1.0, "flow_mag_mean": round(mag0, 2)}),
+      flush=True)
+s = 15.0 / max(mag0, 1e-6)
+for _ in range(4):
     v = scale_predict_heads(m32.variables, s)
     f32 = np.asarray(j32(v, a[:2], b[:2]), np.float32)
     mag = float(np.sqrt((f32 ** 2).sum(-1)).mean())
-    print(json.dumps({"scale": s, "flow_mag_mean": round(mag, 2)}),
+    print(json.dumps({"scale": round(s, 3), "flow_mag_mean": round(mag, 2)}),
           flush=True)
     if BAND[0] <= mag <= BAND[1]:
-        calibrated = (s, v, f32)
+        calibrated = (round(s, 3), v, f32)
         break
+    s *= 15.0 / max(mag, 1e-6)
 if calibrated is None:
     print(json.dumps({"model": "FlowNet2 calibrated",
                       "calibration_failed": True,
@@ -103,12 +116,10 @@ if calibrated is None:
 else:
     s, v, f32 = calibrated
     print(json.dumps({"calibrated_scale": s}), flush=True)
-    drift_row(f"staged mixed (C+S1 bf16), heads x{s}", jmx, v, f32)
     drift_row(f"blanket bf16, heads x{s}", j16, v, f32)
 
     # throughput of the candidate policies (weights don't matter)
-    for label, m, jfn in (("f32", m32, j32), ("staged", mmx, jmx),
-                          ("bf16", m16, j16)):
+    for label, m, jfn in (("f32", m32, j32), ("bf16", m16, j16)):
         dt = timed_loop(lambda x, y, vv: jfn(vv, x, y),
                         (a, b, v), n=10)
         print(json.dumps({"policy": label,
