@@ -26,7 +26,11 @@ CASES = [
     ("FlowNetC", {}, {"dtype": jnp.bfloat16}),
     ("FlowNetCFlexLarger_k3_reps3", {}, {"dtype": jnp.bfloat16}),
     ("FlowNet2", {}, {"dtype": jnp.bfloat16}),
-    ("PWCNet", {}, {"dtype": jnp.bfloat16}),
+    # PWCNet: fetch_model's default IS the mixed-precision production
+    # policy (registry.py), so the f32 baseline must disable it
+    # explicitly — a {} baseline silently measures mixed-vs-mixed
+    # (drift 0.0 exactly, caught in round 4)
+    ("PWCNet", {"mixed_precision": False}, {}),
     ("SpyNet", {}, {"dtype": jnp.bfloat16}),
 ]
 

@@ -115,3 +115,29 @@ def test_raft_mixed_precision_drift_checkpoint_magnitude():
     # calibration sanity: iterates actually live at checkpoint magnitudes
     assert 1.0 < float(mag.mean()) < 60.0
     assert 100.0 * float(d.mean() / max(mag.mean(), 1e-9)) < 1.0
+
+
+def test_bf16_drift_smoke_small():
+    """Fast-lane smoke for this module (every heavyweight drift test here
+    is marked slow): FlowNetS f32-vs-bf16 at a tiny geometry must stay
+    finite and within a loose drift bound."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from understanding_flow_robustness_tpu.models import fetch_model
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
+    m32 = fetch_model("FlowNetS", pretrained_path=None, init_size=(64, 128))
+    m16 = fetch_model("FlowNetS", pretrained_path=None, init_size=(64, 128),
+                      dtype=jnp.bfloat16)
+    f32 = np.asarray(jax.jit(m32.predict_fn)(m32.variables, a, b),
+                     np.float32)
+    f16 = np.asarray(jax.jit(m16.predict_fn)(m32.variables, a, b),
+                     np.float32)
+    assert np.isfinite(f16).all()
+    d = np.sqrt(((f32 - f16) ** 2).sum(-1)).mean()
+    mag = np.sqrt((f32 ** 2).sum(-1)).mean()
+    assert d / max(mag, 1e-9) < 0.05, (d, mag)

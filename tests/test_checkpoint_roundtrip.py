@@ -208,3 +208,31 @@ def test_params_only_msgpack_load(tmp_path):
     x1, x2 = _imgs(64, 64)
     np.testing.assert_array_equal(np.asarray(m.predict(x1, x2)),
                                   np.asarray(m2.predict(x1, x2)))
+
+
+def test_msgpack_roundtrip_smoke_small(tmp_path):
+    """Fast-lane smoke for this module (the per-zoo-format round-trips are
+    marked slow): the msgpack save/load pair round-trips a small FlowNetS
+    variables tree bit-exactly, via both the whole-dict and params-only
+    flavors load_variables accepts."""
+    import jax
+    import numpy as np
+
+    from understanding_flow_robustness_tpu.models import fetch_model
+    from understanding_flow_robustness_tpu.training.checkpoint import (
+        load_variables,
+        save_weights,
+    )
+
+    m = fetch_model("FlowNetS", pretrained_path=None, init_size=(64, 64))
+    template = jax.tree_util.tree_map(np.zeros_like, m.variables)
+    for flavor, payload in (("full", m.variables),
+                            ("params-only", m.variables["params"])):
+        path = tmp_path / f"{flavor}.msgpack"
+        save_weights(str(path), payload)
+        loaded = load_variables(str(path), template)
+        flat_a = jax.tree_util.tree_leaves(m.variables["params"])
+        flat_b = jax.tree_util.tree_leaves(loaded["params"])
+        assert len(flat_a) == len(flat_b)
+        for x, y in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
