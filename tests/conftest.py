@@ -150,7 +150,27 @@ _SLOW_NODEIDS = {
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
 
+    matched = set()
     for item in items:
-        key = item.nodeid.split("/")[-1]
+        # Strip only the tests/-directory prefix: splitting on the LAST
+        # "/" would truncate nodeids whose parametrization ids contain a
+        # "/" (e.g. a path-valued param) so they could never be marked
+        # slow (ADVICE r4).
+        key = item.nodeid
+        if key.startswith("tests/"):
+            key = key[len("tests/"):]
         if key in _SLOW_NODEIDS:
+            matched.add(key)
             item.add_marker(_pytest.mark.slow)
+    # A renamed or re-parametrized slow test silently falls out of the set
+    # and re-enters the <5-min fast lane; fail collection loudly instead
+    # (ADVICE r4).  Only enforced on full-directory runs — selecting a
+    # subset (single file / -k) legitimately leaves entries unmatched.
+    stale = _SLOW_NODEIDS - matched
+    if stale and len(items) > 300:
+        raise _pytest.UsageError(
+            "_SLOW_NODEIDS entries matched no collected test (renamed or "
+            "re-parametrized?) — update tests/conftest.py: "
+            + ", ".join(sorted(stale)[:5])
+            + (" ..." if len(stale) > 5 else "")
+        )

@@ -57,6 +57,63 @@ def _perf_table():
     return rows
 
 
+# zoo-table row name -> bench metric key.  The RAFT row's pairs/s cell is
+# "wild / calibrated" (two numbers); handled specially below.
+_ZOO_TO_METRIC = {
+    "FlowNetC": "flownetc_kitti2012_384x1280_frame_pairs_per_sec_per_chip",
+    "PWC-Net": "pwcnet_384x1280_frame_pairs_per_sec_per_chip",
+    "SPyNet": "spynet_384x1280_frame_pairs_per_sec_per_chip",
+    "FlowNet2": "flownet2_384x1280_frame_pairs_per_sec_per_chip",
+}
+_ZOO_TOL = 0.20
+
+
+def _zoo_table():
+    """{model: [pairs/s, ...]} from PERF.md's hand-written zoo table."""
+    src = open(os.path.join(REPO, "PERF.md")).read()
+    m = re.search(r"## Model-zoo inference throughput.*?\n\n(\|.*?)\n\n",
+                  src, re.S)
+    assert m, "PERF.md is missing the model-zoo throughput table"
+    rows = {}
+    for line in m.group(1).splitlines():
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) < 5 or cells[0] in ("Model", "---"):
+            continue
+        vals = [float(v) for v in re.findall(r"[\d.]+", cells[2])]
+        if vals:
+            rows[cells[0]] = vals
+    return rows
+
+
+def test_zoo_table_agrees_with_generated_table():
+    """Round 4 shipped a PERF.md whose machine-generated headline said
+    SPyNet 163.8 pairs/s while the hand-written zoo table in the SAME
+    file said 124 — a 33% internal contradiction nothing caught.  The
+    two tables must agree on every model they share."""
+    _, metrics = _latest_bench()
+    zoo = _zoo_table()
+    for model, key in _ZOO_TO_METRIC.items():
+        assert model in zoo, f"zoo table lost its {model} row"
+        doc = zoo[model][0]
+        value = metrics[key][0]
+        assert abs(doc - value) <= _ZOO_TOL * value, (
+            f"PERF.md zoo table says {model} = {doc} pairs/s but the "
+            f"newest artifact measured {value} — the two tables in "
+            "PERF.md contradict each other; update the zoo table"
+        )
+    # RAFT row: "<wild> / <calibrated>" pairs/s
+    assert "RAFT-12" in zoo and len(zoo["RAFT-12"]) >= 2, (
+        "zoo table lost its RAFT-12 wild/calibrated row"
+    )
+    wild_doc, cal_doc = zoo["RAFT-12"][0], zoo["RAFT-12"][1]
+    wild = metrics["raft_wildflow_384x1280_frame_pairs_per_sec_per_chip"][0]
+    cal = metrics["raft_kitti_384x1280_frame_pairs_per_sec_per_chip"][0]
+    assert abs(wild_doc - wild) <= _ZOO_TOL * wild, (
+        f"zoo RAFT wild {wild_doc} vs artifact {wild}")
+    assert abs(cal_doc - cal) <= _ZOO_TOL * cal, (
+        f"zoo RAFT calibrated {cal_doc} vs artifact {cal}")
+
+
 def test_perf_table_matches_latest_bench_artifact():
     path, metrics = _latest_bench()
     table = _perf_table()

@@ -55,6 +55,11 @@ GUARDED = (
     "raft_kitti_384x1280_frame_pairs_per_sec_per_chip",
     "raft_wildflow_384x1280_frame_pairs_per_sec_per_chip",
     "raft_train_step_288x960_frames_per_sec_per_chip",
+    "flownetc_kitti2012_384x1280_frame_pairs_per_sec_per_chip",
+    "patch_attack_flownetc_384x1280_iters_per_sec_per_chip",
+    "flownet2_384x1280_frame_pairs_per_sec_per_chip",
+    "spynet_384x1280_frame_pairs_per_sec_per_chip",
+    "pwcnet_384x1280_frame_pairs_per_sec_per_chip",
 )
 
 
@@ -71,6 +76,32 @@ def best_artifact_values() -> dict[str, float]:
                 best[key] = max(best.get(key, 0.0), flat[key][0])
     best.update(GUARD_FLOOR_OVERRIDES)
     return best
+
+
+def _zoo_metric_keys():
+    import bench
+
+    return sorted(bench.MEASURES)
+
+
+@pytest.mark.parametrize("key", _zoo_metric_keys())
+def test_zoo_throughput_guard(key):
+    """Every non-RAFT BENCH metric is floor-guarded on chip (VERDICT r4
+    item #3): PWC-Net had the thinnest margin over the 5x bar and SPyNet
+    demonstrably swung 25% between builder and driver runs in round 4 —
+    neither was guarded, so a regression would ship silently until the
+    next driver round."""
+    import bench
+
+    best = best_artifact_values()
+    floor = best.get(key)
+    if floor is None:
+        pytest.skip(f"no {key} in any BENCH_r*.json artifact")
+    value = bench.MEASURES[key]()
+    assert value >= (1 - TOL) * floor, (
+        f"{key}: {value:.2f} < best-artifact {floor:.2f} - {TOL:.0%} — "
+        "bisect the kernel/model change before shipping"
+    )
 
 
 def test_raft_inference_throughput_guard():

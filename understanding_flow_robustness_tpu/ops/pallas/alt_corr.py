@@ -688,6 +688,15 @@ def alt_lookup_bwd(f1: Array, f2_levels: tuple[Array, ...], coords: Array,
     n_slab = sum(1 for s in slabs if s)
 
     full_tile = fallback_tile if (fallback_tile and n_slab) else tile
+    # Queries are padded once to the LARGER tile and each branch launches
+    # its grid as padded_n // its_own_tile — which silently drops trailing
+    # queries unless the smaller tile divides the larger (ADVICE r4).
+    if max(tile, full_tile) % min(tile, full_tile) != 0:
+        raise ValueError(
+            f"alt_lookup_bwd: tile={tile} and fallback_tile={full_tile} "
+            "must nest (one must divide the other) so both branches cover "
+            "the shared query padding"
+        )
     padn = (-N) % max(tile, full_tile)
     if padn:
         f1 = jnp.pad(f1, ((0, 0), (0, padn), (0, 0)))
