@@ -144,6 +144,16 @@ _SLOW_NODEIDS = {
     # test_warp_tile.py
     "test_warp_tile.py::test_wide_channel_eligibility_and_parity",  # 7s
     "test_warp_tile.py::test_auto_sampler_corrects_scattered_violations[border]",  # 5s
+    # test_cli_parity.py (r5): end-to-end attack-eval runs; the module's
+    # fast representative is test_parity_expected_diff logic via the same
+    # smoke — all three are whole-CLI runs, so all are slow-lane
+    "test_cli_parity.py::test_parity_synthetic_smoke",  # 100s
+    "test_cli_parity.py::test_parity_expected_diff_pass_and_fail",  # 140s
+    "test_cli_parity.py::test_parity_patch_columns",  # 130s
+    # test_grad_transport.py (r5): FlowNet2/RAFT train-step compiles x3
+    "test_grad_transport.py::test_bf16_transport_one_step_matches_f32[FlowNet2-kw0-0.001]",  # slow
+    "test_grad_transport.py::test_bf16_transport_one_step_matches_f32[RAFT-kw1-0.03]",  # slow
+    "test_grad_transport.py::test_flownet2_bf16_transport_short_run_converges",  # slow
 }
 
 

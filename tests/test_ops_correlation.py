@@ -350,6 +350,119 @@ def test_alt_corr_features_interpret_matches_gather():
             np.asarray(x), np.asarray(y), atol=5e-4)
 
 
+def test_alt_corr_features_sorted_interpret_parity():
+    """Deferred-sort lookup (r5): unsorting the sorted output reproduces
+    the padded lookup exactly, and the sorted custom-vjp's f1/f2
+    gradients — whose cotangent arrives SORTED because the caller
+    differentiates through its own unsort — match the reference VJP."""
+    from understanding_flow_robustness_tpu.ops.correlation import (
+        _alt_corr_reference,
+    )
+
+    B, H, W, C = 2, 16, 24, 16
+    N = H * W
+    f1 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    # wild flows: exactly the regime the sort rescues
+    coords = np.asarray(ops.coords_grid(H, W))[None] + RNG.randn(
+        B, H, W, 2).astype(np.float32) * 12
+    coords = jnp.asarray(coords.astype(np.float32))
+
+    out_s, order, inv = ops.alt_corr_features_sorted(
+        f1, f2, coords, 4, 4, interpret=True)
+    ref_p = np.asarray(ops.alt_corr_features(
+        f1, f2, coords, 4, 4, padded=True, interpret=True)).reshape(
+            B, N, -1)
+    unsorted = np.asarray(jnp.take_along_axis(
+        out_s, jnp.asarray(inv)[..., None], axis=1))
+    np.testing.assert_allclose(unsorted, ref_p, atol=1e-4)
+    # order/inv really are inverse permutations
+    o, iv = np.asarray(order), np.asarray(inv)
+    for b in range(B):
+        assert (o[b][iv[b]] == np.arange(N)).all()
+
+    # gradients: consume the sorted output the way RAFT does (per-query
+    # projection in sorted order, then unsort the SMALL activation).
+    # The projection must zero-weight the padding lanes (t or s >= 2r+1):
+    # they carry LIVE hat samples on the kernel path and zeros on the
+    # reference path — the documented padded-layout invariant.
+    def masked_proj(L, n, cols=8):
+        Cp = 16 * L * 16
+        w = RNG.randn(Cp, cols).astype(np.float32)
+        ch = np.arange(Cp)
+        t, s = ch // (L * 16), ch % 16
+        w[(t >= n) | (s >= n)] = 0.0
+        return jnp.asarray(w)
+
+    proj = masked_proj(2, 5)  # L=2 levels, radius 2 -> n=5 below
+
+    def loss_sorted(a, b, c):
+        s, _, iv2 = ops.alt_corr_features_sorted(a, b, c, 2, 2,
+                                                 interpret=True)
+        act = jnp.einsum("bnc,cf->bnf", s.astype(jnp.float32),
+                         proj[: s.shape[-1]])
+        act = jnp.take_along_axis(act, iv2[..., None], axis=1)
+        return jnp.sum(act ** 2)
+
+    def loss_ref(a, b, c):
+        r = _alt_corr_reference(a, b, c, 2, 2, None, True).reshape(B, N, -1)
+        act = jnp.einsum("bnc,cf->bnf", r.astype(jnp.float32),
+                         proj[: r.shape[-1]])
+        return jnp.sum(act ** 2)
+
+    ga = jax.grad(loss_sorted, argnums=(0, 1))(f1, f2, coords)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(f1, f2, coords)
+    for x, y in zip(ga, gr):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-4)
+
+
+def test_raft_corr_sort_on_tpu():
+    """Deferred-sort corr in the full RAFT train path on the chip:
+    packed_train forward with corr_sort='defer' must match 'off' (same
+    math, permuted kernel schedule), and the sorted train-path gradients
+    must match the unsorted ones.
+
+    f32 deliberately (mixed_precision=False): the two modes schedule the
+    same reductions differently, and in bf16 the recurrent GRU chain
+    amplifies those rounding differences chaotically at random init —
+    per-leaf gradient comparisons are only meaningful at f32, where the
+    first run of this test measured 147% spurious bf16 deltas while the
+    kernel-level bf16 path (test above + ops bisect) is exact."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU backend")
+    from understanding_flow_robustness_tpu.models import fetch_model
+
+    rng = np.random.RandomState(3)
+    b, h, w = 2, 64, 96
+    i1 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)) * 255.0
+    i2 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)) * 255.0
+
+    outs, grads = {}, {}
+    for mode in ("off", "defer"):
+        m = fetch_model("RAFT", pretrained_path=None, init_size=(64, 64),
+                        iters=3, corr_sort=mode, mixed_precision=False)
+
+        def fwd(params):
+            preds = m.module.apply(
+                {"params": params, "batch_stats":
+                 m.variables.get("batch_stats", {})},
+                i1, i2, train=True, test_mode=False, packed_train=True,
+                mutable=["batch_stats"])[0]
+            return sum(jnp.sum(p.astype(jnp.float32) ** 2) for p in preds)
+
+        params = m.variables["params"]
+        outs[mode] = jax.jit(fwd)(params)
+        grads[mode] = jax.jit(jax.grad(fwd))(params)
+
+    a, bv = float(outs["off"]), float(outs["defer"])
+    assert abs(a - bv) <= 1e-3 * max(abs(a), 1.0), (a, bv)
+    flat_off = jax.tree_util.tree_leaves(grads["off"])
+    flat_def = jax.tree_util.tree_leaves(grads["defer"])
+    for x, y in zip(flat_off, flat_def):
+        scale = float(jnp.max(jnp.abs(x))) + 1e-6
+        assert float(jnp.max(jnp.abs(x - y))) <= 2e-2 * scale
+
+
 def test_alt_corr_features_on_tpu():
     """Compiled fused on-demand lookup on real TPU hardware: f32 vs gather,
     bf16 relative tolerance, gradient finiteness."""

@@ -306,7 +306,22 @@ class BasicMotionEncoder(nn.Module):
     @nn.compact
     def __call__(self, flow: Array, corr: Array):
         relu = jax.nn.relu
-        if self.padded_corr_levels:
+        if self.padded_corr_levels and isinstance(corr, tuple):
+            # Deferred-sort corr (ops.alt_corr_features_sorted): corr is
+            # ((B, N, Cp) in flow-y-sorted query order, (B, N) inverse
+            # permutation).  convc1 is per-query, so it runs directly on
+            # the sorted layout and the inverse permutation rides its
+            # 256-channel output — 4x less gather traffic than unsorting
+            # the corr tensor itself (PERF.md "sorted-tile slab rescue").
+            corr_s, inv = corr
+            B, H, W, _ = flow.shape
+            n = int(round((self.cor_planes / self.padded_corr_levels) ** 0.5))
+            cor = relu(PaddedCorrConv1x1(
+                256, self.cor_planes, self.padded_corr_levels, n,
+                dtype=self.dtype, name="convc1")(corr_s[:, :, None, :]))
+            cor = jnp.take_along_axis(cor[:, :, 0], inv[..., None], axis=1)
+            cor = cor.reshape(B, H, W, 256)
+        elif self.padded_corr_levels:
             n = int(round((self.cor_planes / self.padded_corr_levels) ** 0.5))
             cor = relu(PaddedCorrConv1x1(
                 256, self.cor_planes, self.padded_corr_levels, n,
@@ -599,6 +614,15 @@ class RAFT(nn.Module):
     # corr.py:26-106).  "auto" picks alt on TPU except when feature taps
     # need the explicit pyramid.  Both are value-equal.
     corr_impl: str = "auto"
+    # Deferred-sort corr lookup (ops.alt_corr_features_sorted): queries
+    # permuted into flow-y order so the flow-following slab kernel fires
+    # for ANY flow field (training iterates are the wild regime), with
+    # the unsort riding the motion encoder's 4x-smaller convc1 output.
+    # "auto": on for the packed train path (alt+padded on TPU), off for
+    # inference (calibrated checkpoint flows already hit the slab path
+    # directly, so sorting would only add gather overhead).  "defer":
+    # always on (wild-flow inference).  "off": never.
+    corr_sort: str = "auto"
     dtype: Optional[Any] = None
 
     @property
@@ -770,7 +794,25 @@ class RAFT(nn.Module):
             and not pallas_disabled()
             and jax.default_backend() == "tpu"
         )
-        if use_alt:
+        use_alt_sorted = (
+            use_alt and use_alt_padded
+            and (self.corr_sort == "defer"
+                 or (self.corr_sort == "auto" and packed_train))
+        )
+        if use_alt_sorted:
+            from ..ops import alt_corr_features_sorted
+
+            # ((B, N, Cp) sorted, inv) consumed by the motion encoder's
+            # sorted-corr branch; the coordinate cotangent is dead (see
+            # the coords_grad note below), and alt_corr_features_sorted
+            # never computes it by construction
+            def lookup(pyr, c):
+                s, _, inv = alt_corr_features_sorted(
+                    fmap1, fmap2, c, self.corr_levels, self.radius,
+                    compute_dtype=compute_dtype,
+                )
+                return (s, inv)
+        elif use_alt:
             # coords_grad=False: coords1 is stop-gradiented every
             # iteration (the reference detaches too, raft.py:188), so the
             # coordinate cotangent is dead — skipping it saves two

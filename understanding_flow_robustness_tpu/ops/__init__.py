@@ -3,6 +3,7 @@
 from .correlation import (
     all_pairs_correlation,
     alt_corr_features,
+    alt_corr_features_sorted,
     channel_norm,
     corr_lookup,
     corr_lookup_padded,
@@ -28,6 +29,7 @@ from .interp import (
 __all__ = [
     "all_pairs_correlation",
     "alt_corr_features",
+    "alt_corr_features_sorted",
     "apply_pad",
     "avg_pool2",
     "bilinear_sample",

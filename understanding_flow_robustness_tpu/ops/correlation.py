@@ -784,6 +784,159 @@ def _alt_corr_bwd_pallas(fmap1, fmap2, coords, g, num_levels, radius,
 _alt_corr_vjp.defvjp(_alt_corr_fwd, _alt_corr_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Deferred-sort lookup: the sorted-tile rescue with the unsort moved OFF the
+# (B, N, 16, L*16) corr output (PERF.md "sorted-tile slab rescue": kernel win
+# real, XLA's ~145 GB/s permutation gather on the full output ate it).  The
+# lookup returns the SORTED output plus the permutation; the RAFT motion
+# encoder applies its per-query 1x1 conv in sorted order and the inverse
+# permutation rides the 4x-smaller (256-channel) activation instead
+# (models/raft/corr.py:61-96 is the reference being accelerated).
+# ---------------------------------------------------------------------------
+
+
+def alt_corr_features_sorted(fmap1: Array, fmap2: Array, coords: Array,
+                             num_levels: int = 4, radius: int = 4,
+                             compute_dtype=None, interpret: bool = False):
+    """(corr_sorted, order, inv): the padded lane-stacked lookup with its
+    queries permuted into flow-y order.
+
+    corr_sorted: (B, N, 16*L*16), channel = t*(L*16) + l*16 + s — the
+    SAME channel layout as ``alt_corr_features(padded=True)`` but with
+    the query axis permuted by ``order`` (and flattened: sorted order is
+    not spatial).  ``inv``: (B, N) int32 with
+    ``corr_sorted[b, inv[b, q]] == corr_unsorted[b, q]``.
+
+    Why: row-major query tiles of WILD flows (training iterates,
+    random-weight inference) span full-height corr bands, disabling the
+    flow-following slab kernel; sorting by window-center y restores the
+    slab path for any flow field.  The unsort is deferred to the caller,
+    who applies it after the first per-query (1x1) consumer so it rides
+    a 4x-smaller tensor.  Gradients: the cotangent arrives SORTED (the
+    caller differentiates through its own take_along_axis), the backward
+    kernel runs directly on the sorted queries (slab path again), and
+    only df1 (256-channel) rides the inverse permutation.  The
+    coordinate cotangent is always zero in this mode (RAFT detaches
+    coords per iteration, models/raft/raft.py:188).
+
+    VMEM fallback: geometries too large for the fused kernels route
+    through the volume formulation with an explicit output sort.
+    """
+    B, H, W, C = fmap1.shape
+    N = H * W
+    need = max(
+        _alt_vmem_bytes(fmap1.shape, num_levels, radius, compute_dtype),
+        _alt_bwd_vmem_bytes(fmap1.shape, num_levels, radius, compute_dtype),
+    )
+    if not interpret and need > _ALT_VMEM_BUDGET:
+        from .pallas.alt_corr import _sort_order
+
+        out = _alt_corr_reference(fmap1, fmap2, coords, num_levels,
+                                  radius, compute_dtype, padded=True)
+        out = out.reshape(B, N, -1)
+        order, inv = _sort_order(coords.reshape(B, N, 2), N)
+        return (jnp.take_along_axis(out, order[..., None], axis=1),
+                order, inv)
+    return _alt_corr_sorted_vjp(fmap1, fmap2, coords, num_levels, radius,
+                                compute_dtype, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _alt_corr_sorted_vjp(fmap1, fmap2, coords, num_levels, radius,
+                         compute_dtype, interpret):
+    from .pallas.alt_corr import (
+        TILE_P,
+        _sort_order,
+        alt_lookup,
+        default_slabs,
+        pool_fmap_levels,
+    )
+
+    B, H, W, C = fmap1.shape
+    N = H * W
+    n = 2 * radius + 1
+    scale = 1.0 / jnp.sqrt(jnp.asarray(C, jnp.float32))
+    f1 = (fmap1.astype(jnp.float32) * scale).reshape(B, N, C)
+    if compute_dtype is not None:
+        f1 = f1.astype(compute_dtype)
+    levels = pool_fmap_levels(fmap2.astype(jnp.float32), num_levels)
+    if compute_dtype is not None:
+        levels = [l.astype(compute_dtype) for l in levels]
+    cflat = coords.reshape(B, N, 2).astype(jnp.float32)
+
+    order, inv = _sort_order(cflat, N)
+    f1s = jnp.take_along_axis(f1, order[..., None], axis=1)
+    cs = jnp.take_along_axis(cflat, order[..., None], axis=1)
+    shapes = tuple((l.shape[1], l.shape[2]) for l in levels)
+    tile = 256  # same config note as pallas alt_corr_features
+    slabs = default_slabs(shapes, tile, n)
+    out_s = alt_lookup(f1s, tuple(levels), cs, radius, tile=tile,
+                       interpret=interpret, slabs=slabs)
+    return (out_s.reshape(B, N, TILE_P * num_levels * TILE_P), order, inv)
+
+
+def _alt_corr_sorted_fwd(fmap1, fmap2, coords, num_levels, radius,
+                         compute_dtype, interpret):
+    out = _alt_corr_sorted_vjp(fmap1, fmap2, coords, num_levels, radius,
+                               compute_dtype, interpret)
+    return out, (fmap1, fmap2, coords)
+
+
+def _alt_corr_sorted_bwd(num_levels, radius, compute_dtype, interpret,
+                         res, gs):
+    from .pallas.alt_corr import (
+        TILE_P,
+        _sort_order,
+        alt_lookup_bwd,
+        default_slabs,
+        pool_fmap_levels,
+    )
+
+    fmap1, fmap2, coords = res
+    g = gs[0]  # order/inv cotangents are float0
+    B, H, W, C = fmap1.shape
+    N = H * W
+    n = 2 * radius + 1
+    P = TILE_P
+    L = num_levels
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(C, jnp.float32))
+    f1 = (fmap1.astype(jnp.float32) * scale).reshape(B, N, C)
+    if compute_dtype is not None:
+        f1 = f1.astype(compute_dtype)
+    levels_f32, pool_vjp = jax.vjp(
+        lambda f: tuple(pool_fmap_levels(f, L)), fmap2.astype(jnp.float32)
+    )
+    levels = tuple(
+        l.astype(compute_dtype) if compute_dtype is not None else l
+        for l in levels_f32
+    )
+    cflat = coords.reshape(B, N, 2).astype(jnp.float32)
+    order, inv = _sort_order(cflat, N)   # deterministic recompute
+    f1s = jnp.take_along_axis(f1, order[..., None], axis=1)
+    cs = jnp.take_along_axis(cflat, order[..., None], axis=1)
+    gk = g.reshape(B, N, P, L * P).astype(f1.dtype)
+
+    shapes = tuple((lv.shape[1], lv.shape[2]) for lv in levels)
+    if jax.default_backend() == "tpu" and not interpret:
+        bwd_slabs = default_slabs(shapes, 128, n)
+        df1s, dlevels = alt_lookup_bwd(f1s, levels, cs, gk, radius,
+                                       slabs=bwd_slabs, fallback_tile=256)
+    else:
+        df1s, dlevels = alt_lookup_bwd(f1s, levels, cs, gk, radius,
+                                       interpret=True)
+    # only df1 rides the inverse permutation (df2 lives in fmap2 space,
+    # order-free); (B, N, 256) — 4x smaller than the corr cotangent
+    df1 = jnp.take_along_axis(df1s.astype(jnp.float32),
+                              inv[..., None], axis=1)
+    dfmap1 = (df1 * scale).reshape(B, H, W, C).astype(fmap1.dtype)
+    dfmap2 = pool_vjp(tuple(d.astype(jnp.float32) for d in dlevels))[0]
+    return dfmap1, dfmap2.astype(fmap2.dtype), jnp.zeros_like(coords)
+
+
+_alt_corr_sorted_vjp.defvjp(_alt_corr_sorted_fwd, _alt_corr_sorted_bwd)
+
+
 def channel_norm(x: Array, eps: float = 0.0) -> Array:
     """Per-pixel L2 norm over channels: (B, H, W, C) -> (B, H, W, 1).
 

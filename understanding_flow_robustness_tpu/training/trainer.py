@@ -60,6 +60,11 @@ class TrainConfig:
     inner_iteration: int = 1
     time_limit: float = TIME_LIMIT
     n_devices: Optional[int] = None
+    # "bf16": compress the cross-device gradient all-reduce to bfloat16
+    # (explicit-collectives shard_map path — halves FlowNet2's 650 MB
+    # per-step ICI transfer, see train_step.make_train_step); "f32": the
+    # default pjit path with XLA's implicit f32 all-reduce.
+    grad_transport: str = "f32"
     seed: int = 1234
     # --add_noise (train.py:162-169): per-batch gaussian noise with
     # stdv ~ U(0, 5) on the 0-255 scale, clamped to the image range.
@@ -147,14 +152,18 @@ def train(
             if cfg.batch_size % n == 0
         )
     mesh = make_mesh(n_devices)
+    explicit = cfg.grad_transport != "f32"
     step_fn = shard_train_step(
         make_train_step(
             model.module, tx, loss_type=cfg.loss_type, is_raft=model.is_raft,
             flownetc=cfg.flownetc, pwc=cfg.pwc, gamma=cfg.gamma,
             div_flow=cfg.div_flow, flownetc_weighing=cfg.flownetc_weighing,
             freeze_bn=cfg.freeze_bn, not_excluding=cfg.not_excluding,
+            axis_name=mesh.axis_names[0] if explicit else None,
+            grad_transport=cfg.grad_transport,
         ),
         mesh,
+        explicit_collectives=explicit,
     )
 
     t_start = time.time()
