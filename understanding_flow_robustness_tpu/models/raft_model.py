@@ -313,13 +313,17 @@ class BasicMotionEncoder(nn.Module):
             # the sorted layout and the inverse permutation rides its
             # 256-channel output — 4x less gather traffic than unsorting
             # the corr tensor itself (PERF.md "sorted-tile slab rescue").
-            corr_s, inv = corr
+            corr_s, order, inv = corr
             B, H, W, _ = flow.shape
             n = int(round((self.cor_planes / self.padded_corr_levels) ** 0.5))
+            from ..ops.correlation import permute_rows
+
             cor = relu(PaddedCorrConv1x1(
                 256, self.cor_planes, self.padded_corr_levels, n,
                 dtype=self.dtype, name="convc1")(corr_s[:, :, None, :]))
-            cor = jnp.take_along_axis(cor[:, :, 0], inv[..., None], axis=1)
+            # scatter-free unsort: backward is a gather by `order`, not
+            # AD's scatter (permute_rows docstring)
+            cor = permute_rows(cor[:, :, 0], inv, order)
             cor = cor.reshape(B, H, W, 256)
         elif self.padded_corr_levels:
             n = int(round((self.cor_planes / self.padded_corr_levels) ** 0.5))
@@ -616,13 +620,21 @@ class RAFT(nn.Module):
     corr_impl: str = "auto"
     # Deferred-sort corr lookup (ops.alt_corr_features_sorted): queries
     # permuted into flow-y order so the flow-following slab kernel fires
-    # for ANY flow field (training iterates are the wild regime), with
-    # the unsort riding the motion encoder's 4x-smaller convc1 output.
-    # "auto": on for the packed train path (alt+padded on TPU), off for
-    # inference (calibrated checkpoint flows already hit the slab path
-    # directly, so sorting would only add gather overhead).  "defer":
-    # always on (wild-flow inference).  "off": never.
+    # for ANY flow field, with the unsort riding the motion encoder's
+    # 4x-smaller convc1 output.  MEASURED OFF in production (round 5,
+    # same-process A/B at both geometries, scripts/sorted_corr_ab.py):
+    # even with scatter-free permutation plumbing (permute_rows,
+    # argsort-built inverse, VJP-stashed order) the mode loses e2e —
+    # train 168.4 vs 165.6 ms, wild inference 143.5 vs 141.1, calibrated
+    # 143.3 vs ~128 — the three (B, N, 256)-class permutation gathers
+    # per iteration at XLA's ~145 GB/s gather rate cost more than the
+    # slab kernel saves.  "off" (default): never.  "defer": always on
+    # (kept correctness-tested for a future backend with line-rate
+    # gathers).  "auto": currently = off.
     corr_sort: str = "auto"
+    # rematerialize the per-iteration update block in the backward pass
+    # (see the instantiation note); measured on/off in round 5
+    remat_update: bool = False
     dtype: Optional[Any] = None
 
     @property
@@ -794,10 +806,10 @@ class RAFT(nn.Module):
             and not pallas_disabled()
             and jax.default_backend() == "tpu"
         )
+        # "auto" resolves to OFF: the deferred-sort mode measured slower
+        # e2e at every operating point (see the corr_sort attribute note)
         use_alt_sorted = (
-            use_alt and use_alt_padded
-            and (self.corr_sort == "defer"
-                 or (self.corr_sort == "auto" and packed_train))
+            use_alt and use_alt_padded and self.corr_sort == "defer"
         )
         if use_alt_sorted:
             from ..ops import alt_corr_features_sorted
@@ -807,11 +819,11 @@ class RAFT(nn.Module):
             # the coords_grad note below), and alt_corr_features_sorted
             # never computes it by construction
             def lookup(pyr, c):
-                s, _, inv = alt_corr_features_sorted(
+                s, order, inv = alt_corr_features_sorted(
                     fmap1, fmap2, c, self.corr_levels, self.radius,
                     compute_dtype=compute_dtype,
                 )
-                return (s, inv)
+                return (s, order, inv)
         elif use_alt:
             # coords_grad=False: coords1 is stop-gradiented every
             # iteration (the reference detaches too, raft.py:188), so the
@@ -845,7 +857,14 @@ class RAFT(nn.Module):
                 cor_planes, hdim, compute_dtype, name="update_block"
             )
         else:
-            update_block = BasicUpdateBlock(
+            # remat_update: rematerialize each iteration's update block in
+            # the backward instead of storing its internals (GRU gates,
+            # motion-encoder activations) across the 12-iteration unroll —
+            # the classic unrolled-RNN HBM/FLOPs trade (jax.checkpoint via
+            # flax's lifted nn.remat; params/checkpoints unchanged).
+            block_cls = (nn.remat(BasicUpdateBlock) if self.remat_update
+                         else BasicUpdateBlock)
+            update_block = block_cls(
                 cor_planes, hdim, dtype=compute_dtype,
                 padded_corr_levels=(
                     self.corr_levels

@@ -795,6 +795,30 @@ _alt_corr_vjp.defvjp(_alt_corr_fwd, _alt_corr_bwd)
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def permute_rows(x: Array, idx: Array, inv: Array) -> Array:
+    """``take_along_axis(x, idx[..., None], axis=1)`` whose BACKWARD is a
+    gather by the inverse permutation instead of AD's scatter — XLA's TPU
+    scatter lowering costs ~3x the equivalent gather (measured round 5:
+    0.8 ms scatter vs 0.26 ms gather at (8, 7680, 256) bf16), and for a
+    permutation the cotangent routing is itself a permutation, so no
+    scatter is ever needed.  idx/inv must be mutually inverse (B, N)
+    permutations (caller-guaranteed, e.g. from ``_sort_order``)."""
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+def _permute_rows_fwd(x, idx, inv):
+    return jnp.take_along_axis(x, idx[..., None], axis=1), (idx, inv)
+
+
+def _permute_rows_bwd(res, g):
+    idx, inv = res
+    return (jnp.take_along_axis(g, inv[..., None], axis=1), None, None)
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 def alt_corr_features_sorted(fmap1: Array, fmap2: Array, coords: Array,
                              num_levels: int = 4, radius: int = 4,
                              compute_dtype=None, interpret: bool = False):
@@ -879,20 +903,21 @@ def _alt_corr_sorted_fwd(fmap1, fmap2, coords, num_levels, radius,
                          compute_dtype, interpret):
     out = _alt_corr_sorted_vjp(fmap1, fmap2, coords, num_levels, radius,
                                compute_dtype, interpret)
-    return out, (fmap1, fmap2, coords)
+    # stash the permutation (out[1], out[2]) so the backward does not pay
+    # a second argsort pair per call
+    return out, (fmap1, fmap2, coords, out[1], out[2])
 
 
 def _alt_corr_sorted_bwd(num_levels, radius, compute_dtype, interpret,
                          res, gs):
     from .pallas.alt_corr import (
         TILE_P,
-        _sort_order,
         alt_lookup_bwd,
         default_slabs,
         pool_fmap_levels,
     )
 
-    fmap1, fmap2, coords = res
+    fmap1, fmap2, coords, order, inv = res
     g = gs[0]  # order/inv cotangents are float0
     B, H, W, C = fmap1.shape
     N = H * W
@@ -912,7 +937,6 @@ def _alt_corr_sorted_bwd(num_levels, radius, compute_dtype, interpret,
         for l in levels_f32
     )
     cflat = coords.reshape(B, N, 2).astype(jnp.float32)
-    order, inv = _sort_order(cflat, N)   # deterministic recompute
     f1s = jnp.take_along_axis(f1, order[..., None], axis=1)
     cs = jnp.take_along_axis(cflat, order[..., None], axis=1)
     gk = g.reshape(B, N, P, L * P).astype(f1.dtype)

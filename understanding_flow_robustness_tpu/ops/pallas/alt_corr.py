@@ -265,9 +265,10 @@ def _sort_order(coords, valid_n):
     key = jnp.where(qidx < valid_n, coords[..., 1].astype(jnp.float32),
                     jnp.float32(3.0e8))
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
-    iota = jnp.broadcast_to(qidx, order.shape)
-    inv = jnp.zeros_like(order).at[
-        jnp.arange(B, dtype=jnp.int32)[:, None], order].set(iota)
+    # inverse permutation via a SECOND argsort, not a scatter: XLA's TPU
+    # scatter lowering costs ~0.8 ms at (8, 7680) where the sort itself
+    # is ~free (measured round 5, scripts note in PERF.md)
+    inv = jnp.argsort(order, axis=1).astype(jnp.int32)
     return order, inv
 
 
