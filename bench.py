@@ -243,6 +243,41 @@ MEASURES = {
 }
 
 
+def measure_train_fwd(n=8):
+    """Forward+loss only at the train geometry (no grad/optimizer),
+    frames/s — the denominator of the train guard's same-session
+    backward-multiple bound (tests/test_tpu_perf_guard.py)."""
+    from understanding_flow_robustness_tpu.models import fetch_model
+    from understanding_flow_robustness_tpu.training.losses import (
+        sequence_loss,
+    )
+    from understanding_flow_robustness_tpu.utils.benchmark import timed_loop
+
+    rng = np.random.RandomState(0)
+    tb, th, tw = 4, 288, 960
+    raft = fetch_model("RAFT", pretrained_path=None, init_size=(128, 128),
+                       batch_pad_encoders=True)
+    tparams = raft.variables["params"]
+    tstats = raft.variables.get("batch_stats", {})
+    targs = (
+        jnp.asarray(rng.rand(tb, th, tw, 3).astype(np.float32)),
+        jnp.asarray(rng.rand(tb, th, tw, 3).astype(np.float32)),
+        jnp.asarray(rng.randn(tb, th, tw, 2).astype(np.float32)),
+        jnp.ones((tb, th, tw), jnp.float32),
+    )
+
+    def fwd_loss(i1, i2, fl, va, p, s):
+        variables = {"params": p, "batch_stats": s}
+        preds, _ = raft.module.apply(
+            variables, i1 * 255.0, i2 * 255.0, mutable=["batch_stats"],
+            train=True, test_mode=False, packed_train=True)
+        loss, _ = sequence_loss(list(preds), fl, va, packed=True)
+        return (loss,)
+
+    dt = timed_loop(fwd_loss, targs + (tparams, tstats), n=n)
+    return tb / dt
+
+
 def measure_train_step(n=5):
     """RAFT train-step throughput, frames/s (batch 4 @ 288x960)."""
     from understanding_flow_robustness_tpu.models import fetch_model

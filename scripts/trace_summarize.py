@@ -21,6 +21,12 @@ import re
 
 BUCKETS = [
     # (bucket, regex over the HLO op name)
+    # The corr-lookup dispatch lowers to cond.N wrapping branch_K_fun.M
+    # (slab vs full-extent); counting the conds (not their nested
+    # branches) avoids double counting.  In the round-5 train trace the
+    # 12 backward conds measured ~3.2-3.4 ms each and the 12 forward
+    # conds ~1.35 ms (cond.5.clone.*) — see PERF.md.
+    ("corr dispatch conds", r"^cond\.\d"),
     ("corr-lookup fwd (pallas)", r"alt_corr|_alt_corr_kernel|custom-call.*corr"),
     ("corr-lookup bwd (pallas)", r"alt.*bwd|bwd.*corr"),
     ("conv fwd/bwd", r"^convolution|^%?conv|conv_general|custom-call.*conv"),

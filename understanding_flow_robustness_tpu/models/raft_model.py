@@ -516,6 +516,18 @@ def upsample_flow_packed(flow: Array, mask_p: Array) -> Array:
     return out / denom
 
 
+@jax.checkpoint
+def _upsample_packed_remat(flow: Array, mask_p: Array) -> Array:
+    """upsample_flow_packed under jax.checkpoint: the streaming softmax's
+    9 exp slices are recomputed in the backward instead of stored across
+    the 12-iteration unroll — measured +1.4 ms/step on the bench train
+    step (same-process A/B, scripts/remat_ab.py round 5; nn.remat of the
+    whole update block measured a 25 ms LOSS — the step is not
+    spill-bound, only this one producer pays).  Calls through the module
+    global so the decomposition scripts' monkeypatches still take."""
+    return upsample_flow_packed(flow, mask_p)
+
+
 def pack_fullres(x: Array) -> Array:
     """(B, 8h, 8w, C) -> (B, h, w, 64*C) in the packed-upsample channel
     order (`_packed_uv_order`), C minor.  Used once per train step to
@@ -884,7 +896,7 @@ class RAFT(nn.Module):
             )
             coords1 = coords1 + delta_flow.astype(jnp.float32)
             if packed_train:
-                flow_up = upsample_flow_packed(coords1 - coords0, up_mask)
+                flow_up = _upsample_packed_remat(coords1 - coords0, up_mask)
             elif up_mask is None:
                 flow_up = upflow8(coords1 - coords0)
             else:
