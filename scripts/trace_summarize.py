@@ -57,16 +57,38 @@ def load_events(trace_dir: str):
         p for p, name in track.items()
         if re.search(r"TPU|/device:|accelerator", name, re.I)
     }
-    out = []
+    raw = []
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
         if dev_pids and e.get("pid") not in dev_pids:
             continue
-        out.append((e["name"], e["dur"]))
-    if not out:  # fall back: keep everything with a duration
-        out = [(e["name"], e["dur"]) for e in events
-               if e.get("ph") == "X" and "dur" in e]
+        raw.append(e)
+    if not raw:  # fall back: keep everything with a duration
+        raw = [e for e in events if e.get("ph") == "X" and "dur" in e]
+    # LEAF-ONLY accounting (round 5): device tracks nest — jit_* parents,
+    # per-step TraceMe rows and cond wrappers all contain their children,
+    # so naive summing double-counts (the round-5 train trace showed an
+    # 83% "other" bucket that was mostly parents).  Keep only events that
+    # contain no other event on the same (pid, tid) track.
+    by_track = collections.defaultdict(list)
+    for e in raw:
+        by_track[(e.get("pid"), e.get("tid"))].append(e)
+    out = []
+    for evs in by_track.values():
+        evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+        # an event is a parent iff the NEXT event starts inside it (with
+        # sorted starts, containing intervals precede their children)
+        for i, e in enumerate(evs):
+            nxt = evs[i + 1] if i + 1 < len(evs) else None
+            is_parent = (nxt is not None
+                         and nxt["ts"] < e["ts"] + e["dur"]
+                         and nxt["ts"] + nxt["dur"] <= e["ts"] + e["dur"])
+            # program-level rows live alone on their own tracks: the
+            # jit_* executable rows and the bare-numbered step rows are
+            # whole-step aggregates, not ops
+            if not is_parent and not re.match(r"^\d+$|^jit_", e["name"]):
+                out.append((e["name"], e["dur"]))
     return path, out
 
 

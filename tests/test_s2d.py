@@ -58,6 +58,37 @@ def test_spynet_s2d_path_matches_plain():
     np.testing.assert_allclose(out0, out1, atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("norm,train", [
+    ("instance", False), ("instance", True),
+    ("batch", False), ("batch", True), ("none", False),
+])
+def test_basic_encoder_s2d_matches_plain(norm, train):
+    """RAFT BasicEncoder's s2d layer1 stage (round 5: the 26 ms/step
+    half-res 64-channel hotspot) is a value-identical kernel/stat
+    rearrangement: identical params, outputs to float reassociation, and
+    identical batch-stats updates (the phase-grouped reduction sums the
+    same elements as the full-res one)."""
+    from understanding_flow_robustness_tpu.models.raft_model import (
+        BasicEncoder,
+    )
+
+    x = jnp.asarray(RNG.randn(2, 64, 96, 3).astype(np.float32))
+    enc0 = BasicEncoder(256, norm, None, train, s2d=False)
+    enc1 = BasicEncoder(256, norm, None, train, s2d=True)
+    v = jax.jit(enc0.init)(jax.random.PRNGKey(0), x)
+    kw = dict(mutable=["batch_stats"]) if norm == "batch" else {}
+    y0 = enc0.apply(v, x, **kw)
+    y1 = enc1.apply(v, x, **kw)
+    if norm == "batch":
+        (y0, s0), (y1, s1) = y0, y1
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+            s0, s1)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("k,ci,co", [(3, 64, 64), (3, 5, 16), (7, 8, 12)])
 def test_s2_conv_s2d_in_matches_plain(k, ci, co):
     from understanding_flow_robustness_tpu.ops.s2d import s2_conv_s2d_in_kernel

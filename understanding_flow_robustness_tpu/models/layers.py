@@ -334,13 +334,27 @@ class TorchConvTranspose(nn.Module):
 
 class InstanceNorm2d(nn.Module):
     """torch nn.InstanceNorm2d defaults: affine=False, eps=1e-5, per-sample
-    per-channel normalization over (H, W)."""
+    per-channel normalization over (H, W).
+
+    ``s2d``: the input is in 2x2 space-to-depth layout (B, H/2, W/2, 4C),
+    channel (p*2+q)*C + c (ops/s2d.py) — statistics reduce over the four
+    phase copies of each ORIGINAL channel as well as space, which is
+    exactly the full-resolution per-channel reduction over the same
+    elements (value-identical modulo float reassociation)."""
 
     eps: float = 1e-5
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x32 = x.astype(jnp.float32)
+        if self.s2d:
+            B, H2, W2, C4 = x.shape
+            x5 = x32.reshape(B, H2, W2, 4, C4 // 4)
+            mean = jnp.mean(x5, axis=(1, 2, 3), keepdims=True)
+            var = jnp.var(x5, axis=(1, 2, 3), keepdims=True)
+            y = (x5 - mean) * lax.rsqrt(var + self.eps)
+            return y.reshape(x.shape).astype(x.dtype)
         mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
         var = jnp.var(x32, axis=(1, 2), keepdims=True)
         return ((x32 - mean) * lax.rsqrt(var + self.eps)).astype(x.dtype)
@@ -377,10 +391,15 @@ class TorchBatchNorm(nn.Module):
     use_running_average: bool = True
     eps: float = 1e-5
     momentum: float = 0.1
+    # 2x2 space-to-depth input layout: stats/affine per ORIGINAL channel
+    # (reduced over the 4 phase copies too — the same elements as the
+    # full-res reduction); params and running stats keep shape (C,), so
+    # checkpoints are untouched.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        C = x.shape[-1]
+        C = x.shape[-1] // 4 if self.s2d else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         ra_mean = self.variable(
@@ -390,19 +409,25 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
         )
         x32 = x.astype(jnp.float32)
+        if self.s2d:
+            x32 = x32.reshape(x.shape[:-1] + (4, C))
+            red = (0, 1, 2, 3)
+            n = x.shape[0] * x.shape[1] * x.shape[2] * 4
+        else:
+            red = (0, 1, 2)
+            n = x.shape[0] * x.shape[1] * x.shape[2]
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            mean = jnp.mean(x32, axis=(0, 1, 2))
-            var = jnp.var(x32, axis=(0, 1, 2))
+            mean = jnp.mean(x32, axis=red)
+            var = jnp.var(x32, axis=red)
             if not self.is_initializing():
-                n = x.shape[0] * x.shape[1] * x.shape[2]
                 unbiased = var * n / max(n - 1, 1)
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         y = (x32 - mean) * lax.rsqrt(var + self.eps) * scale + bias
-        return y.astype(x.dtype)
+        return y.reshape(x.shape).astype(x.dtype)
 
 
 class ConvBlock(nn.Module):

@@ -53,38 +53,60 @@ from .layers import (
 Array = jax.Array
 
 
-def _norm(norm_fn: str, num_channels: int, train: bool, name: str):
+def _norm(norm_fn: str, num_channels: int, train: bool, name: str,
+          s2d: bool = False):
     if norm_fn == "group":
+        if s2d:
+            raise NotImplementedError("group norm has no s2d form here")
         return TorchGroupNorm(num_groups=num_channels // 8, name=name)
     if norm_fn == "batch":
-        return TorchBatchNorm(use_running_average=not train, name=name)
+        return TorchBatchNorm(use_running_average=not train, s2d=s2d,
+                              name=name)
     if norm_fn == "instance":
-        return InstanceNorm2d(name=name)
+        return InstanceNorm2d(s2d=s2d, name=name)
     if norm_fn == "none":
         return lambda x: x
     raise ValueError(norm_fn)
 
 
 class ResidualBlock(nn.Module):
-    """models/raft/extractor.py:5-78."""
+    """models/raft/extractor.py:5-78.
+
+    ``s2d``: run the whole stride-1 block in 2x2 space-to-depth layout
+    (input AND output s2d) — the 64-channel half-res layer1 stage was the
+    encoders' hottest line in the round-5 train trace (26 ms/step at
+    ~38 TF/s: 64 output channels fill half the MXU lanes); the s2d form
+    runs the same convs at 256 channels / quarter the spatial positions.
+    ``s2d_in``: stride-2 entry block whose INPUT is s2d (conv1 and the
+    downsample conv consume it via the packed stride-1 kernel transform,
+    ops/s2d.py::s2_conv_s2d_in_kernel); output in normal layout.  Both
+    are value-identical kernel rearrangements — params and checkpoints
+    untouched."""
 
     features: int
     norm_fn: str = "group"
     stride: int = 1
     dtype: Optional[Any] = None
     train: bool = False
+    s2d: bool = False
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         relu = jax.nn.relu
+        if self.s2d:
+            assert self.stride == 1, "s2d residual blocks are stride-1"
         y = TorchConv(self.features, 3, self.stride, dtype=self.dtype,
-                      name="conv1")(x)
-        y = relu(_norm(self.norm_fn, self.features, self.train, "norm1")(y))
-        y = TorchConv(self.features, 3, 1, dtype=self.dtype, name="conv2")(y)
-        y = relu(_norm(self.norm_fn, self.features, self.train, "norm2")(y))
+                      s2d=self.s2d, s2d_in=self.s2d_in, name="conv1")(x)
+        y = relu(_norm(self.norm_fn, self.features, self.train, "norm1",
+                       s2d=self.s2d)(y))
+        y = TorchConv(self.features, 3, 1, dtype=self.dtype, s2d=self.s2d,
+                      name="conv2")(y)
+        y = relu(_norm(self.norm_fn, self.features, self.train, "norm2",
+                       s2d=self.s2d)(y))
         if self.stride != 1:
             x = TorchConv(self.features, 1, self.stride, dtype=self.dtype,
-                          name="downsample")(x)
+                          s2d_in=self.s2d_in, name="downsample")(x)
             x = _norm(self.norm_fn, self.features, self.train, "norm3")(x)
         return relu(x + y)
 
@@ -117,23 +139,54 @@ class BottleneckBlock(nn.Module):
 
 class BasicEncoder(nn.Module):
     """models/raft/extractor.py:142-215: conv7x7/2 + 3 residual stages
-    (64, 96/2, 128/2) + 1x1 out conv.  Output stride 8."""
+    (64, 96/2, 128/2) + 1x1 out conv.  Output stride 8.
+
+    ``s2d``: run the 64-channel layer1 stage in 2x2 space-to-depth
+    layout.  MEASURED OFF (round 5, same-process A/B,
+    scripts/enc_s2d_ab.py): layer1 was the encoders' hottest trace line
+    (26 ms/step at ~38 TF/s — 64 channels fill half the MXU lanes), but
+    for a 3x3 kernel the s2d transform emits a k'=3 kernel over 4x the
+    channels on both sides = 4x the contraction FLOPs (unlike SpyNet's
+    7x7, where k'=5 costs only ~2x), and the lane-fill gain cannot buy
+    that back: train 175.5 vs 164.1 ms, calibrated inference 143.3 vs
+    128.4, wild 157.9 vs 141.8.  Default False; the mechanism stays
+    value-parity-tested (tests/test_s2d.py) as the record of the
+    measurement."""
 
     output_dim: int = 256
     norm_fn: str = "instance"
     dtype: Optional[Any] = None
     train: bool = False
+    s2d: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from ..ops.s2d import space_to_depth
+
+        use_s2d = bool(self.s2d)  # None = auto = OFF (see class note)
         x = TorchConv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
         x = _norm(self.norm_fn, 64, self.train, "norm1")(x)
         x = jax.nn.relu(x)
-        for i, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
+        if use_s2d:
+            x = space_to_depth(x)
+            for j in range(2):
+                x = ResidualBlock(64, self.norm_fn, 1, self.dtype,
+                                  self.train, s2d=True,
+                                  name=f"layer1_{j}")(x)
+            x = ResidualBlock(96, self.norm_fn, 2, self.dtype, self.train,
+                              s2d_in=True, name="layer2_0")(x)
+            x = ResidualBlock(96, self.norm_fn, 1, self.dtype, self.train,
+                              name="layer2_1")(x)
+            stages = [(128, 2)]
+            base = 3
+        else:
+            stages = [(64, 1), (96, 2), (128, 2)]
+            base = 1
+        for i, (dim, stride) in enumerate(stages):
             x = ResidualBlock(dim, self.norm_fn, stride, self.dtype,
-                              self.train, name=f"layer{i + 1}_0")(x)
+                              self.train, name=f"layer{base + i}_0")(x)
             x = ResidualBlock(dim, self.norm_fn, 1, self.dtype,
-                              self.train, name=f"layer{i + 1}_1")(x)
+                              self.train, name=f"layer{base + i}_1")(x)
         return TorchConv(self.output_dim, 1, 1, dtype=self.dtype, name="conv2")(x)
 
 
@@ -647,6 +700,8 @@ class RAFT(nn.Module):
     # rematerialize the per-iteration update block in the backward pass
     # (see the instantiation note); measured on/off in round 5
     remat_update: bool = False
+    # BasicEncoder space-to-depth layer1 stage (None = auto: on-TPU)
+    encoder_s2d: Optional[bool] = None
     dtype: Optional[Any] = None
 
     @property
@@ -719,7 +774,8 @@ class RAFT(nn.Module):
         elif self.small:
             fnet = SmallEncoder(128, "instance", compute_dtype, train, name="fnet")
         else:
-            fnet = BasicEncoder(256, self.fnorm, compute_dtype, train, name="fnet")
+            fnet = BasicEncoder(256, self.fnorm, compute_dtype, train,
+                                s2d=self.encoder_s2d, name="fnet")
         fmaps = batched(fnet, jnp.concatenate([x1, x2], axis=0))
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
         fmap1 = fmap1.astype(jnp.float32)
@@ -782,7 +838,7 @@ class RAFT(nn.Module):
         else:
             cnet = batched(
                 BasicEncoder(hdim + cdim, self.cnorm, compute_dtype, train,
-                             name="cnet"), x1)
+                             s2d=self.encoder_s2d, name="cnet"), x1)
         net, inp = jnp.split(cnet.astype(jnp.float32), [hdim], axis=-1)
         net = jnp.tanh(net)
         inp = jax.nn.relu(inp)
