@@ -542,14 +542,9 @@ class PackedMaskConv1x1(nn.Module):
         return y + (0.25 * bias).astype(dtype)[idx]
 
 
-def upsample_flow_packed(flow: Array, mask_p: Array) -> Array:
-    """Convex 8x upsampling in the packed layout — value-equal to
-    ``upsample_flow_convex`` with packed[b, h, w, j] ==
-    convex[b, 8h+u, 8w+v, c] for j per `_packed_uv_order` (modulo ~1 ulp
-    softmax reassociation).  mask_p: (B, H, W, 9*128) from
-    PackedMaskConv1x1 (0.25 scale already folded).  No full-res tensor,
-    no 6-D transpose: nine 128-lane slices, a streaming softmax over k,
-    and nine in-lane FMAs."""
+def _packed_softmax_taps(flow: Array, mask_p: Array):
+    """(softmax weights s_k list, shifted taps list) for the packed convex
+    upsample; shared by the forward and the custom backward."""
     B, H, W, _ = flow.shape
     ms = [mask_p[..., 128 * k:128 * (k + 1)] for k in range(9)]
     mx = ms[0]
@@ -557,27 +552,85 @@ def upsample_flow_packed(flow: Array, mask_p: Array) -> Array:
         mx = jnp.maximum(mx, m)
     es = [jnp.exp(m - mx) for m in ms]
     denom = sum(es)
-
+    s = [e / denom for e in es]
     f = 8.0 * flow
     fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    out = None
+    taps = [fp[:, dy:dy + H, dx:dx + W, :]
+            for dy in range(3) for dx in range(3)]   # (B, H, W, 2) each
+    return s, taps
+
+
+@jax.custom_vjp
+def upsample_flow_packed(flow: Array, mask_p: Array) -> Array:
+    """Convex 8x upsampling in the packed layout — value-equal to
+    ``upsample_flow_convex`` with packed[b, h, w, j] ==
+    convex[b, 8h+u, 8w+v, c] for j per `_packed_uv_order` (modulo ~1 ulp
+    softmax reassociation).  mask_p: (B, H, W, 9*128) from
+    PackedMaskConv1x1 (0.25 scale already folded).  No full-res tensor,
+    no 6-D transpose: nine 128-lane slices, a softmax over k, and nine
+    broadcast FMAs (the channel-tile is a reshape-broadcast, never
+    materialized).
+
+    custom_vjp (round 5): AD of the streaming formulation emitted
+    ~10 ms/step of add_any/mul/tile passes in the train backward (device
+    trace) — the hand derivative is the standard weighted-softmax
+    backward, dm_k = s_k (u_k - sum_j s_j u_j) with u_k = tap_k * g, and
+    the tap cotangents ride pad+slice (no scatter)."""
+    B, H, W, _ = flow.shape
+    s, taps = _packed_softmax_taps(flow, mask_p)
+    out5 = None
+    for sk, tap in zip(s, taps):
+        t = sk.reshape(B, H, W, 64, 2) * tap[:, :, :, None, :]
+        out5 = t if out5 is None else out5 + t
+    return out5.reshape(B, H, W, 128)
+
+
+def _upsample_packed_fwd(flow, mask_p):
+    return upsample_flow_packed(flow, mask_p), (flow, mask_p)
+
+
+def _upsample_packed_bwd(res, g):
+    flow, mask_p = res
+    B, H, W, _ = flow.shape
+    s, taps = _packed_softmax_taps(flow, mask_p)
+    g5 = g.reshape(B, H, W, 64, 2)
+
+    # weighted-softmax backward, exact per mask LANE: the loss saw each
+    # of the 128 lanes separately, so dm_k,c = s_k,c (u_k,c - sum_j
+    # s_j,c u_j,c) with u_k,c = tap_k,[c-component] * g_c
+    dmask = []
+    ul = [tap[:, :, :, None, :] * g5 for tap in taps]  # (B,H,W,64,2)
+    dotl = None
+    for sk, u in zip(s, ul):
+        d = sk.reshape(B, H, W, 64, 2) * u
+        dotl = d if dotl is None else dotl + d
+    for sk, u in zip(s, ul):
+        dm = sk.reshape(B, H, W, 64, 2) * (u - dotl)
+        dmask.append(dm.reshape(B, H, W, 128))
+    dmask_full = jnp.concatenate(dmask, axis=-1)
+
+    # tap cotangent: d_tap_k = sum over the 64 pair slots of s_k * g
+    dfp = jnp.zeros((B, H + 2, W + 2, 2), g5.dtype)
     for k, (dy, dx) in enumerate((dy, dx) for dy in range(3)
                                  for dx in range(3)):
-        tap = fp[:, dy:dy + H, dx:dx + W, :]         # (B, H, W, 2)
-        term = es[k] * jnp.tile(tap, (1, 1, 1, 64))  # c is the minor bit
-        out = term if out is None else out + term
-    return out / denom
+        dtap = jnp.sum(s[k].reshape(B, H, W, 64, 2) * g5, axis=3)
+        dfp = dfp + jnp.pad(
+            dtap, ((0, 0), (dy, 2 - dy), (dx, 2 - dx), (0, 0)))
+    dflow = 8.0 * dfp[:, 1:H + 1, 1:W + 1, :]
+    return dflow.astype(flow.dtype), dmask_full.astype(mask_p.dtype)
 
 
-@jax.checkpoint
+upsample_flow_packed.defvjp(_upsample_packed_fwd, _upsample_packed_bwd)
+
+
 def _upsample_packed_remat(flow: Array, mask_p: Array) -> Array:
-    """upsample_flow_packed under jax.checkpoint: the streaming softmax's
-    9 exp slices are recomputed in the backward instead of stored across
-    the 12-iteration unroll — measured +1.4 ms/step on the bench train
-    step (same-process A/B, scripts/remat_ab.py round 5; nn.remat of the
-    whole update block measured a 25 ms LOSS — the step is not
-    spill-bound, only this one producer pays).  Calls through the module
-    global so the decomposition scripts' monkeypatches still take."""
+    """Historical name (round-5 interim shipped jax.checkpoint here for
+    +1.4 ms/step): upsample_flow_packed now carries a custom_vjp whose
+    residuals are just (flow, mask_p), which subsumes the remat — the
+    backward recomputes the softmax from the inputs AND replaces AD's
+    ~10 ms/step of add_any/mul/tile passes with the closed-form
+    weighted-softmax derivative.  Calls through the module global so the
+    decomposition scripts' monkeypatches still take."""
     return upsample_flow_packed(flow, mask_p)
 
 

@@ -706,6 +706,7 @@ def _alt_corr_bwd_pallas(fmap1, fmap2, coords, g, num_levels, radius,
         alt_lookup_bwd,
         default_slabs,
         pool_fmap_levels,
+        unpool_fmap_grads,
     )
 
     B, H, W, C = fmap1.shape
@@ -719,9 +720,7 @@ def _alt_corr_bwd_pallas(fmap1, fmap2, coords, g, num_levels, radius,
     f2f = fmap2.astype(jnp.float32)
     if compute_dtype is not None:
         f1 = f1.astype(compute_dtype)
-    levels_f32, pool_vjp = jax.vjp(
-        lambda f: tuple(pool_fmap_levels(f, L)), f2f
-    )
+    levels_f32 = tuple(pool_fmap_levels(f2f, L))
     levels = tuple(
         l.astype(compute_dtype) if compute_dtype is not None else l
         for l in levels_f32
@@ -756,8 +755,8 @@ def _alt_corr_bwd_pallas(fmap1, fmap2, coords, g, num_levels, radius,
                                   interpret=interpret, slabs=bwd_slabs,
                                   fallback_tile=256)
     dfmap1 = (df1 * scale).reshape(B, H, W, C).astype(fmap1.dtype)
-    dfmap2 = pool_vjp(tuple(d.astype(jnp.float32) for d in dlevels))[0]
-    dfmap2 = dfmap2.astype(fmap2.dtype)
+    # scatter-free avg-pool transpose (see unpool_fmap_grads)
+    dfmap2 = unpool_fmap_grads(dlevels, fmap2.shape).astype(fmap2.dtype)
 
     if not coords_grad:
         # the caller declared the coordinate cotangent dead (RAFT
@@ -915,6 +914,7 @@ def _alt_corr_sorted_bwd(num_levels, radius, compute_dtype, interpret,
         alt_lookup_bwd,
         default_slabs,
         pool_fmap_levels,
+        unpool_fmap_grads,
     )
 
     fmap1, fmap2, coords, order, inv = res
@@ -929,9 +929,7 @@ def _alt_corr_sorted_bwd(num_levels, radius, compute_dtype, interpret,
     f1 = (fmap1.astype(jnp.float32) * scale).reshape(B, N, C)
     if compute_dtype is not None:
         f1 = f1.astype(compute_dtype)
-    levels_f32, pool_vjp = jax.vjp(
-        lambda f: tuple(pool_fmap_levels(f, L)), fmap2.astype(jnp.float32)
-    )
+    levels_f32 = tuple(pool_fmap_levels(fmap2.astype(jnp.float32), L))
     levels = tuple(
         l.astype(compute_dtype) if compute_dtype is not None else l
         for l in levels_f32
@@ -954,7 +952,7 @@ def _alt_corr_sorted_bwd(num_levels, radius, compute_dtype, interpret,
     df1 = jnp.take_along_axis(df1s.astype(jnp.float32),
                               inv[..., None], axis=1)
     dfmap1 = (df1 * scale).reshape(B, H, W, C).astype(fmap1.dtype)
-    dfmap2 = pool_vjp(tuple(d.astype(jnp.float32) for d in dlevels))[0]
+    dfmap2 = unpool_fmap_grads(dlevels, fmap2.shape)
     return dfmap1, dfmap2.astype(fmap2.dtype), jnp.zeros_like(coords)
 
 

@@ -462,6 +462,34 @@ def pool_fmap_levels(f2: Array, num_levels: int) -> list[Array]:
     return levels
 
 
+def unpool_fmap_grads(dlevels, f2_shape) -> Array:
+    """Scatter-free VJP of ``pool_fmap_levels``: fold per-level fmap2
+    cotangents back to full resolution.
+
+    ``jax.vjp(pool_fmap_levels)`` lowers the strided-slice backward to
+    scatter-adds (~2 ms/step across the 12 train iterations, round-5
+    device trace); the 2x2-avg-pool transpose is just a 0.25-weighted
+    2x2 broadcast plus zero-padding of the odd-cropped row/column, which
+    this computes with reshapes only.  Value-identical to the AD path
+    (same 0.25*dg value lands on each of the four source pixels).
+    """
+    H0, W0 = f2_shape[1], f2_shape[2]
+    shapes = [(d.shape[1], d.shape[2]) for d in dlevels]
+    acc = dlevels[-1].astype(jnp.float32)
+    for lvl in range(len(dlevels) - 2, -1, -1):
+        B, h2, w2, C = acc.shape
+        H, W = shapes[lvl]
+        up = jnp.broadcast_to(
+            (acc * 0.25)[:, :, None, :, None, :],
+            (B, h2, 2, w2, 2, C),
+        ).reshape(B, 2 * h2, 2 * w2, C)
+        up = jnp.pad(up, ((0, 0), (0, H - 2 * h2), (0, W - 2 * w2),
+                          (0, 0)))
+        acc = dlevels[lvl].astype(jnp.float32) + up
+    assert acc.shape[1] == H0 and acc.shape[2] == W0
+    return acc
+
+
 def alt_corr_features(
     fmap1: Array,
     fmap2: Array,
